@@ -1,0 +1,86 @@
+"""User-facing API: encode / decode / PNG bridges.
+
+Mirrors the reference CLI's capabilities (ref main.rs:17-139): PNG <-> `.nice`
+conversion for RGB and RGBA (alpha is dropped, matching the reference encoder;
+we write channels=3 instead of reproducing the reference's undecodable
+channels=4 files — SURVEY A.8.3).
+
+Backend selection: the TPU (JAX) encoder and native C++ codec are preferred
+when available; the numpy spec codec is the always-available fallback.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _to_rgb(img: np.ndarray) -> np.ndarray:
+    if img.ndim != 3 or img.dtype != np.uint8:
+        raise ValueError("expected (H, W, C) uint8 image")
+    if img.shape[2] == 4:
+        img = img[:, :, :3]  # alpha dropped, as the reference encoder does
+    if img.shape[2] != 3:
+        raise ValueError("expected RGB or RGBA image")
+    return np.ascontiguousarray(img)
+
+
+def encode(img: np.ndarray, backend: str = "auto") -> bytes:
+    """Encode an (H, W, 3|4) uint8 array to `.nice` bytes.
+
+    backend: "auto" | "jax" | "native" | "spec".
+    """
+    img = _to_rgb(img)
+    if backend in ("auto", "jax"):
+        try:
+            from nicetpu.kernels.encode import encode_jax
+
+            return encode_jax(img)
+        except ImportError:
+            if backend == "jax":
+                raise
+    if backend in ("auto", "native"):
+        try:
+            from nicetpu.hostref.oracle import encode_native
+
+            return encode_native(img)
+        except (ImportError, OSError):
+            if backend == "native":
+                raise
+    from nicetpu.spec import codec
+
+    return codec.encode(img)
+
+
+def decode(data: bytes, backend: str = "auto") -> np.ndarray:
+    """Decode `.nice` bytes to an (H, W, 3) uint8 array.
+
+    backend: "auto" | "native" | "spec".  The native C++ decoder is the fast
+    path (entropy decode is inherently serial, SURVEY §7.3.5).
+    """
+    if backend in ("auto", "native"):
+        try:
+            from nicetpu.hostref.oracle import decode_native
+
+            return decode_native(data)
+        except (ImportError, OSError):
+            if backend == "native":
+                raise
+    from nicetpu.spec import codec
+
+    return codec.decode(data)
+
+
+def imread(path: str) -> np.ndarray:
+    """Read a PNG (or any PIL-supported image) as (H, W, 3|4) uint8."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        if im.mode not in ("RGB", "RGBA"):
+            im = im.convert("RGB")
+        return np.asarray(im, dtype=np.uint8)
+
+
+def imwrite(path: str, img: np.ndarray) -> None:
+    from PIL import Image
+
+    Image.fromarray(img).save(path)
