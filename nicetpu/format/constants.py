@@ -111,8 +111,9 @@ MIN_WIDTH = 4
 # Run-length coding (SURVEY A.5; ref code.rs:385-407)
 # ---------------------------------------------------------------------------
 # v = run_length - 1 emitted as base-8 digits LSB-first, digit d as prefix d+5.
-# Max digits we ever materialize: 8^16 > 2^48 pixels, far beyond any raster.
-MAX_RUN_DIGITS = 16
+# Run values fit int32 (rasters < 2^31 pixels), so 11 base-8 digits suffice
+# (8^11 = 2^33 > 2^31); this also keeps every threshold int32-safe on TPU.
+MAX_RUN_DIGITS = 11
 
 # ---------------------------------------------------------------------------
 # Token slot layout used by the vectorized tokenizer (not wire format —
@@ -121,4 +122,4 @@ MAX_RUN_DIGITS = 16
 # then run digits.  Slot order == serial token order (SURVEY §3.1 / A.6).
 # ---------------------------------------------------------------------------
 MODE_PAYLOAD_SLOTS = 4  # COLOR_LUMA emits the most: index + g + r + b
-TOKEN_SLOTS = 1 + MODE_PAYLOAD_SLOTS + MAX_RUN_DIGITS  # 21
+TOKEN_SLOTS = 1 + MODE_PAYLOAD_SLOTS + MAX_RUN_DIGITS  # 16
