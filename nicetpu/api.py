@@ -32,9 +32,9 @@ def encode(img: np.ndarray, backend: str = "auto") -> bytes:
     img = _to_rgb(img)
     if backend in ("auto", "jax"):
         try:
-            from nicetpu.kernels.encode import encode_jax
+            from nicetpu.kernels.encode2 import encode_jax_v2
 
-            return encode_jax(img)
+            return encode_jax_v2(img)
         except ImportError:
             if backend == "jax":
                 raise

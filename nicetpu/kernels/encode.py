@@ -19,7 +19,7 @@ import numpy as np
 
 from nicetpu.format import constants as C
 from nicetpu.format import headers, huffman
-from nicetpu.kernels.bitpack import pack_tokens, payload_capacity_words, words_to_payload
+from nicetpu.kernels.bitpack import tokens_to_code_bits, words_to_payload
 from nicetpu.kernels.tokenize import tokenize_and_count
 
 
@@ -57,15 +57,15 @@ def encode_jax(img: np.ndarray) -> bytes:
 
     flat_lengths, flat_codes = _build_tables(counts)
     needed_bits = int((counts * flat_lengths.astype(np.int64)).sum())
-    cap = payload_capacity_words(N, needed_bits)
 
-    words, total_bits = pack_tokens(
+    levels = max(1, (N * C.TOKEN_SLOTS - 1).bit_length())
+    words, total_bits = tokens_to_code_bits(
         tok["streams"],
         tok["symbols"],
         tok["valid"],
         jnp.asarray(flat_lengths.astype(np.int32)),
         jnp.asarray(flat_codes),
-        capacity_words=cap,
+        levels=levels,
     )
     total_bits = int(total_bits)
     assert total_bits == needed_bits, (total_bits, needed_bits)

@@ -3,9 +3,16 @@
 TPU-first reformulation of the reference's per-pixel serial cascade
 (ref code.rs:159-414): all predictors become statically-shifted tensor reads,
 mode selection is a priority select over per-mode validity masks, run lengths
-come from a reverse cummin over change indices, and the histogram is a
-one-hot matmul/segment-sum.  Produces the exact serial token order as
-(N, TOKEN_SLOTS) slot arrays (slot layout in format/constants.py).
+come from a log-doubling suffix-min over change indices, and the histogram is
+a masked scatter-add over the flat 858-bin layout.
+
+The core (`cascade`, `assemble_slots`) operates on a halo-extended local
+pixel range so the same math serves single-chip whole-image encoding and
+shard_map'ed row-block shards (halo = 4 rows covers every predictor offset,
+max reach 3W+3 pixels; SURVEY §5 long-context analogue).  Every mode decision
+depends only on raw input bytes (SURVEY §3.1), so shard-local tokenization
+composes exactly: run-covered pixels emit nothing on any shard, and a run
+crossing a shard boundary is emitted whole by the shard owning its head.
 """
 
 from __future__ import annotations
@@ -17,86 +24,81 @@ import jax.numpy as jnp
 import numpy as np
 
 from nicetpu.format import constants as C
+from nicetpu.kernels.scan import suffix_min
 
 
-def _shift(x: jnp.ndarray, off: int) -> jnp.ndarray:
-    """out[p] = x[p - off] with zero fill (validity handled by masks)."""
-    if off == 0:
-        return x
-    return jnp.pad(x, (off, 0))[: x.shape[0]]
+def halo_pixels(width: int) -> int:
+    """Halo (in pixels) a shard needs before its first pixel: 4 rows covers
+    the deepest predictor reach 3W+3 (ref code.rs:141-145) for any W >= 4."""
+    return 4 * width
 
 
-def _luma_diffs(r, g, b, rr, rg, rb):
-    """Wrapping-u8 luma-style diffs vs a reference pixel (ref code.rs:252-339)."""
-    dg = (g - rg) & 255
-    dr = (r - rr - dg) & 255
-    db = (b - rb - dg) & 255
-    ok = (
-        ((dg >= 224) | (dg < 32))
-        & ((dr >= 240) | (dr < 16))
-        & ((db >= 240) | (db < 16))
-    )
-    return dg, dr, db, ok
+def cascade(x_ext: jnp.ndarray, g0, n_local: int, *, width: int, halo: int):
+    """Mode cascade for n_local pixels given a halo-extended flat raster.
 
-
-@partial(jax.jit, static_argnames=("width",))
-def tokenize_and_count(img_flat: jnp.ndarray, *, width: int):
-    """img_flat: (N, 3) uint8 (flattened raster).  Returns a dict with
-    token slot arrays (N, TOKEN_SLOTS) and the flat (858,) histogram.
-
-    `width` is static: all predictor offsets specialize at trace time.
+    x_ext: (halo + n_local, 3) int32 — halo pixels precede the local range.
+    g0: global pixel index of local pixel 0 (traced or static).
+    Returns per-pixel dict: mode, per-mode symbols, residuals, change mask.
     """
     W = width
-    N = img_flat.shape[0]
-    x = img_flat.astype(jnp.int32)
-    r, g, b = x[:, 0], x[:, 1], x[:, 2]
-    pos = jnp.arange(N, dtype=jnp.int32)
+    r_, g_, b_ = x_ext[:, 0], x_ext[:, 1], x_ext[:, 2]
+    pos = g0 + jnp.arange(n_local, dtype=jnp.int32)
+
+    def sh(x, off):
+        """ref[i] = x_ext[halo + i - off] for local pixel i (zeros if OOB)."""
+        start = halo - off
+        if start >= 0:
+            return jax.lax.dynamic_slice_in_dim(x, start, n_local)
+        return jnp.pad(x, (-start, 0))[: n_local]
+
+    r, g, b = sh(r_, 0), sh(g_, 0), sh(b_, 0)
     row0 = pos < W
 
-    pr, pg, pb = _shift(r, 1), _shift(g, 1), _shift(b, 1)  # raster predecessor
-    ur, ug, ub = _shift(r, W), _shift(g, W), _shift(b, W)  # one row up
+    pr, pg, pb = sh(r_, 1), sh(g_, 1), sh(b_, 1)
+    ur, ug, ub = sh(r_, W), sh(g_, W), sh(b_, W)
 
     # --- BACK_REF: first exact match over 5 offsets (priority select)
-    br_hit = jnp.zeros(N, dtype=jnp.bool_)
-    br_idx = jnp.zeros(N, dtype=jnp.int32)
+    br_hit = jnp.zeros(n_local, dtype=jnp.bool_)
+    br_idx = jnp.zeros(n_local, dtype=jnp.int32)
     for i, off in enumerate(C.back_ref_offsets(W)):
-        eq = (
-            (pos >= off)
-            & (r == _shift(r, off))
-            & (g == _shift(g, off))
-            & (b == _shift(b, off))
-        )
+        eq = (pos >= off) & (r == sh(r_, off)) & (g == sh(g_, off)) & (b == sh(b_, off))
         new = eq & ~br_hit
         br_idx = jnp.where(new, i, br_idx)
         br_hit = br_hit | eq
 
-    # --- SMALL_DIFF: i16 diffs vs avg(up,left) / left (ref code.rs:210-247)
+    # --- SMALL_DIFF (ref code.rs:210-247)
     avg_r, avg_g, avg_b = (ur + pr) // 2, (ug + pg) // 2, (ub + pb) // 2
     sd_r = r - jnp.where(row0, pr, avg_r)
     sd_g = g - jnp.where(row0, pg, avg_g)
     sd_b = b - jnp.where(row0, pb, avg_b)
     sd_hit = (
-        (pos > 0)
-        & (jnp.abs(sd_r) <= 3)
-        & (jnp.abs(sd_g) <= 3)
-        & (jnp.abs(sd_b) <= 3)
+        (pos > 0) & (jnp.abs(sd_r) <= 3) & (jnp.abs(sd_g) <= 3) & (jnp.abs(sd_b) <= 3)
     )
     sd_code = (3 + sd_r) + 7 * (3 + sd_g) + 49 * (3 + sd_b)
 
-    # --- COLOR_LUMA2: averaged predictor, needs p >= W (ref code.rs:252-292)
-    l2_g, l2_r, l2_b, l2_ok = _luma_diffs(r, g, b, avg_r, avg_g, avg_b)
+    def luma_diffs(rr, rg, rb):
+        dg = (g - rg) & 255
+        dr = (r - rr - dg) & 255
+        db = (b - rb - dg) & 255
+        ok = (
+            ((dg >= 224) | (dg < 32))
+            & ((dr >= 240) | (dr < 16))
+            & ((db >= 240) | (db < 16))
+        )
+        return dg, dr, db, ok
+
+    # --- COLOR_LUMA2 (ref code.rs:252-292)
+    l2_g, l2_r, l2_b, l2_ok = luma_diffs(avg_r, avg_g, avg_b)
     l2_hit = (~row0) & l2_ok
 
     # --- COLOR_LUMA: 11 refs, first in-range wins (ref code.rs:295-339)
-    lu_hit = jnp.zeros(N, dtype=jnp.bool_)
-    lu_idx = jnp.zeros(N, dtype=jnp.int32)
-    lu_g = jnp.zeros(N, dtype=jnp.int32)
-    lu_r = jnp.zeros(N, dtype=jnp.int32)
-    lu_b = jnp.zeros(N, dtype=jnp.int32)
+    lu_hit = jnp.zeros(n_local, dtype=jnp.bool_)
+    lu_idx = jnp.zeros(n_local, dtype=jnp.int32)
+    lu_g = jnp.zeros(n_local, dtype=jnp.int32)
+    lu_r = jnp.zeros(n_local, dtype=jnp.int32)
+    lu_b = jnp.zeros(n_local, dtype=jnp.int32)
     for i, off in enumerate(C.luma_ref_offsets(W)):
-        dg, dr, db, ok = _luma_diffs(
-            r, g, b, _shift(r, off), _shift(g, off), _shift(b, off)
-        )
+        dg, dr, db, ok = luma_diffs(sh(r_, off), sh(g_, off), sh(b_, off))
         ok = ok & (pos >= off)
         new = ok & ~lu_hit
         lu_idx = jnp.where(new, i, lu_idx)
@@ -105,12 +107,11 @@ def tokenize_and_count(img_flat: jnp.ndarray, *, width: int):
         lu_b = jnp.where(new, db, lu_b)
         lu_hit = lu_hit | ok
 
-    # --- RGB fallback residuals (ref code.rs:341-366); pixel-0 predictor = 0
+    # --- RGB residuals (ref code.rs:341-366); pixel-0 predictor = 0
     res_r = jnp.where(row0, (r - jnp.where(pos > 0, pr, 0)) & 255, (r - avg_r) & 255)
     res_g = jnp.where(row0, (g - jnp.where(pos > 0, pg, 0)) & 255, (g - avg_g) & 255)
     res_b = jnp.where(row0, (b - jnp.where(pos > 0, pb, 0)) & 255, (b - avg_b) & 255)
 
-    # --- Priority select: backref > small > luma2 > luma > rgb
     mode = jnp.where(
         br_hit,
         C.PREFIX_BACK_REF,
@@ -124,120 +125,138 @@ def tokenize_and_count(img_flat: jnp.ndarray, *, width: int):
             ),
         ),
     )
+
+    changed = ((r != pr) | (g != pg) | (b != pb)) | (pos == 0)
+
+    return {
+        "pos": pos,
+        "mode": mode,
+        "br_idx": br_idx,
+        "sd_code": sd_code,
+        "l2": (l2_g, l2_r, l2_b),
+        "lu": (lu_idx, lu_g, lu_r, lu_b),
+        "res": (res_r, res_g, res_b),
+        "changed": changed,
+    }
+
+
+def assemble_slots(cas: dict, run_len: jnp.ndarray):
+    """Token slot assembly: (n, TOKEN_SLOTS) stream/symbol/valid arrays in
+    serial token order (SURVEY A.6).  run_len is the globally-correct run
+    length per pixel (only meaningful at encoded pixels)."""
+    mode = cas["mode"]
+    n = mode.shape[0]
+    enc = cas["changed"]
+    br_idx = cas["br_idx"]
+    sd_code = cas["sd_code"]
+    l2_g, l2_r, l2_b = cas["l2"]
+    lu_idx, lu_g, lu_r, lu_b = cas["lu"]
+    res_r, res_g, res_b = cas["res"]
+
     is_br = mode == C.PREFIX_BACK_REF
     is_sd = mode == C.PREFIX_SMALL_DIFF
     is_l2 = mode == C.PREFIX_COLOR_LUMA2
     is_lu = mode == C.PREFIX_COLOR_LUMA
     is_rgb = mode == C.PREFIX_RGB
 
-    # --- Encoded-pixel set + run lengths (SURVEY §3.1)
-    changed = (r != pr) | (g != pg) | (b != pb)
-    enc = changed.at[0].set(True) if N > 0 else changed
-    change_idx = jnp.where(enc, pos, N)
-    suffix_min = jax.lax.cummin(change_idx, axis=0, reverse=True)
-    next_change = jnp.concatenate([suffix_min[1:], jnp.array([N], jnp.int32)])
-    run_len = next_change - pos - 1
     has_run = enc & (run_len > 0)
     v = jnp.maximum(run_len - 1, 0)
-    ndigits = jnp.ones(N, dtype=jnp.int32)
+    ndigits = jnp.ones(n, dtype=jnp.int32)
     for j in range(1, C.MAX_RUN_DIGITS):
         ndigits = ndigits + (v >= (1 << (3 * j))).astype(jnp.int32)
 
-    # --- Token slot assembly (slot order == serial order, SURVEY A.6)
     def sel(cond_vals, default):
         out = default
         for cond, val in reversed(cond_vals):
             out = jnp.where(cond, val, out)
         return out
 
-    zeros = jnp.zeros(N, dtype=jnp.int32)
-    slot_streams = []
-    slot_symbols = []
-    slot_valid = []
+    full = lambda v_: jnp.full(n, v_, jnp.int32)
+    slot_streams = [full(C.SC_PREFIXES)]
+    slot_symbols = [mode]
+    slot_valid = [enc]
 
-    # slot 0: mode prefix
-    slot_streams.append(jnp.full(N, C.SC_PREFIXES, jnp.int32))
-    slot_symbols.append(mode)
-    slot_valid.append(enc)
-    # slot 1
     slot_streams.append(
         sel(
             [
-                (is_br, jnp.full(N, C.SC_BACK_REF, jnp.int32)),
-                (is_sd, jnp.full(N, C.SC_SMALL_DIFF, jnp.int32)),
-                (is_l2, jnp.full(N, C.SC_LUMA_BASE_DIFF2, jnp.int32)),
-                (is_lu, jnp.full(N, C.SC_LUMA_BACK_REF, jnp.int32)),
+                (is_br, full(C.SC_BACK_REF)),
+                (is_sd, full(C.SC_SMALL_DIFF)),
+                (is_l2, full(C.SC_LUMA_BASE_DIFF2)),
+                (is_lu, full(C.SC_LUMA_BACK_REF)),
             ],
-            jnp.full(N, C.SC_RGB, jnp.int32),
+            full(C.SC_RGB),
         )
     )
     slot_symbols.append(
         sel(
-            [
-                (is_br, br_idx),
-                (is_sd, sd_code),
-                (is_l2, (l2_g + 32) & 255),
-                (is_lu, lu_idx),
-            ],
+            [(is_br, br_idx), (is_sd, sd_code), (is_l2, (l2_g + 32) & 255), (is_lu, lu_idx)],
             res_r,
         )
     )
     slot_valid.append(enc)
-    # slot 2
+
     slot_streams.append(
         sel(
-            [
-                (is_l2, jnp.full(N, C.SC_LUMA_OTHER_DIFF2, jnp.int32)),
-                (is_lu, jnp.full(N, C.SC_LUMA_BASE_DIFF, jnp.int32)),
-            ],
-            jnp.full(N, C.SC_RGB, jnp.int32),
+            [(is_l2, full(C.SC_LUMA_OTHER_DIFF2)), (is_lu, full(C.SC_LUMA_BASE_DIFF))],
+            full(C.SC_RGB),
         )
     )
-    slot_symbols.append(
-        sel([(is_l2, (l2_r + 16) & 255), (is_lu, (lu_g + 32) & 255)], res_g)
-    )
+    slot_symbols.append(sel([(is_l2, (l2_r + 16) & 255), (is_lu, (lu_g + 32) & 255)], res_g))
     slot_valid.append(enc & (is_l2 | is_lu | is_rgb))
-    # slot 3
+
     slot_streams.append(
         sel(
-            [
-                (is_l2, jnp.full(N, C.SC_LUMA_OTHER_DIFFB2, jnp.int32)),
-                (is_lu, jnp.full(N, C.SC_LUMA_OTHER_DIFF, jnp.int32)),
-            ],
-            jnp.full(N, C.SC_RGB, jnp.int32),
+            [(is_l2, full(C.SC_LUMA_OTHER_DIFFB2)), (is_lu, full(C.SC_LUMA_OTHER_DIFF))],
+            full(C.SC_RGB),
         )
     )
-    slot_symbols.append(
-        sel([(is_l2, (l2_b + 16) & 255), (is_lu, (lu_r + 16) & 255)], res_b)
-    )
+    slot_symbols.append(sel([(is_l2, (l2_b + 16) & 255), (is_lu, (lu_r + 16) & 255)], res_b))
     slot_valid.append(enc & (is_l2 | is_lu | is_rgb))
-    # slot 4 (COLOR_LUMA only)
-    slot_streams.append(jnp.full(N, C.SC_LUMA_OTHER_DIFF, jnp.int32))
+
+    slot_streams.append(full(C.SC_LUMA_OTHER_DIFF))
     slot_symbols.append((lu_b + 16) & 255)
     slot_valid.append(enc & is_lu)
-    # run digit slots
+
     for j in range(C.MAX_RUN_DIGITS):
-        slot_streams.append(jnp.full(N, C.SC_PREFIXES, jnp.int32))
+        slot_streams.append(full(C.SC_PREFIXES))
         slot_symbols.append(((v >> (3 * j)) & 7) + C.PREFIX_RUN_BASE)
         slot_valid.append(has_run & (j < ndigits))
 
     streams = jnp.stack(slot_streams, axis=1)
     symbols = jnp.stack(slot_symbols, axis=1)
     valid = jnp.stack(slot_valid, axis=1)
-    # Zero invalid slots so flat-table gathers stay in range downstream.
     streams = jnp.where(valid, streams, 0)
     symbols = jnp.where(valid, symbols, 0)
+    return streams, symbols, valid
 
-    # --- Histogram over the flat 858-bin layout
+
+def histogram(streams, symbols, valid):
     base = jnp.asarray(np.asarray(C.STREAM_BASE, dtype=np.int32))
     bins = base[streams] + symbols
-    counts = jnp.zeros(C.TOTAL_SYMBOLS, dtype=jnp.int32).at[bins.reshape(-1)].add(
-        valid.reshape(-1).astype(jnp.int32), mode="drop"
+    return (
+        jnp.zeros(C.TOTAL_SYMBOLS, dtype=jnp.int32)
+        .at[bins.reshape(-1)]
+        .add(valid.reshape(-1).astype(jnp.int32), mode="drop")
     )
 
-    return {
-        "streams": streams,
-        "symbols": symbols,
-        "valid": valid,
-        "counts": counts,
-    }
+
+@partial(jax.jit, static_argnames=("width",))
+def tokenize_and_count(img_flat: jnp.ndarray, *, width: int):
+    """Single-chip whole-image tokenizer.  img_flat: (N, 3) uint8.
+
+    Returns dict with (N, TOKEN_SLOTS) slot arrays and the (858,) histogram.
+    """
+    N = img_flat.shape[0]
+    x = img_flat.astype(jnp.int32)
+    cas = cascade(x, jnp.int32(0), N, width=width, halo=0)
+
+    pos = cas["pos"]
+    enc = cas["changed"]
+    change_idx = jnp.where(enc, pos, N)
+    sfx = suffix_min(change_idx)
+    next_change = jnp.concatenate([sfx[1:], jnp.array([N], jnp.int32)])
+    run_len = next_change - pos - 1
+
+    streams, symbols, valid = assemble_slots(cas, run_len)
+    counts = histogram(streams, symbols, valid)
+    return {"streams": streams, "symbols": symbols, "valid": valid, "counts": counts}

@@ -1,0 +1,132 @@
+"""JAX kernel tests on the CPU backend: byte-parity with the numpy spec."""
+
+import numpy as np
+import pytest
+
+from nicetpu.spec import codec
+
+
+def _images(seed=0, count=10):
+    rng = np.random.default_rng(seed)
+    for t in range(count):
+        h = int(rng.integers(1, 20))
+        w = int(rng.integers(4, 24))
+        style = t % 4
+        if style == 0:
+            yield rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        elif style == 1:
+            yield (rng.integers(0, 3, (h, w, 3)) * 100).astype(np.uint8)
+        elif style == 2:
+            yield (
+                rng.integers(0, 8, (h, w, 1)) * 30 + rng.integers(0, 4, (h, w, 3))
+            ).astype(np.uint8)
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            img[h // 2 :] = img[max(h // 2 - 1, 0), 0]
+            yield img
+
+
+class TestJaxEncoder:
+    def test_byte_identical_to_spec(self):
+        from nicetpu.kernels.encode import encode_jax
+
+        for img in _images(seed=10):
+            assert encode_jax(img) == codec.encode(img)
+
+    def test_tokenize_matches_spec_plan(self):
+        import jax.numpy as jnp
+
+        from nicetpu.kernels.tokenize import tokenize_and_count
+
+        rng = np.random.default_rng(11)
+        img = (rng.integers(0, 6, (12, 16, 1)) * 40 + rng.integers(0, 4, (12, 16, 3))).astype(np.uint8)
+        plan = codec.tokenize(img)
+        tok = tokenize_and_count(jnp.asarray(img.reshape(-1, 3)), width=16)
+        np.testing.assert_array_equal(np.asarray(tok["valid"]), plan.valid)
+        np.testing.assert_array_equal(
+            np.asarray(tok["streams"]), plan.streams.astype(np.int32)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tok["symbols"]), plan.symbols.astype(np.int32)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tok["counts"]), codec.histogram(plan).astype(np.int32)
+        )
+
+
+class TestMergePack:
+    def test_matches_numpy_reference(self):
+        import jax.numpy as jnp
+
+        from nicetpu.kernels.bitpack import merge_pack
+
+        rng = np.random.default_rng(12)
+        for levels in (4, 8, 11):
+            M = 1 << levels
+            aob = rng.integers(0, 32, M).astype(np.int32)
+            aob[rng.random(M) < 0.4] = 0
+            code = np.array(
+                [rng.integers(0, 1 << int(a)) if a else 0 for a in aob],
+                dtype=np.uint32,
+            )
+            words, total = merge_pack(
+                jnp.asarray(aob), jnp.asarray(code), levels=levels
+            )
+            total = int(total)
+            assert total == int(aob.sum())
+            # serial reference pack
+            acc = bytearray()
+            cache, nbits = 0, 0
+            for a, c in zip(aob, code):
+                cache = (cache << int(a)) | int(c)
+                nbits += int(a)
+                while nbits >= 8:
+                    nbits -= 8
+                    acc.append((cache >> nbits) & 0xFF)
+            if nbits:
+                acc.append((cache << (8 - nbits)) & 0xFF)
+            got = np.asarray(words).astype(">u4").tobytes()[: len(acc)]
+            assert got == bytes(acc)
+
+
+class TestSharded:
+    def test_sharded_encode_matches_spec(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from nicetpu.dist.sharded import encode_sharded, make_mesh
+
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(13)
+        cases = []
+        img = rng.integers(0, 256, (32, 16, 3), dtype=np.uint8)
+        cases.append(img)
+        img = (rng.integers(0, 4, (64, 8, 1)) * 60 + rng.integers(0, 4, (64, 8, 3))).astype(np.uint8)
+        cases.append(img)
+        img = rng.integers(0, 256, (40, 12, 3), dtype=np.uint8)
+        img[13:27] = img[12, -1]  # run crossing shard boundaries
+        cases.append(img)
+        cases.append(np.full((48, 8, 3), 77, dtype=np.uint8))  # whole-image run
+        for img in cases:
+            assert encode_sharded(img, mesh) == codec.encode(img)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import jax
+
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        counts, nvalid = fn(*args)
+        assert int(np.asarray(counts).sum()) == int(nvalid)
+
+    def test_dryrun_multichip(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
