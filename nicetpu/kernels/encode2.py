@@ -31,6 +31,12 @@ from nicetpu.kernels.tokenize import assemble_slots, cascade, histogram
 from nicetpu.kernels.bitpack import words_to_payload
 
 
+def _use_pallas() -> bool:
+    """MXU one-hot kernels on real TPU; jnp scatter/gather elsewhere (same
+    results — pure performance switch)."""
+    return jax.default_backend() not in ("cpu",)
+
+
 def _slot_arrays(img_flat, *, width: int, ndigits_cap: int):
     """cascade + slot assembly, truncated to 5 + ndigits_cap slots.
 
@@ -76,13 +82,16 @@ def tokenize_compact(img_flat, *, width: int, ndigits_cap: int):
     # Histogram on the compacted prefix: mask out the invalid tail.
     cidx = jnp.arange(M, dtype=jnp.int32)
     live = cidx < n_valid
-    counts = (
-        jnp.zeros(C.TOTAL_SYMBOLS, dtype=jnp.int32)
-        .at[jnp.where(live, sorted_bins, 0)]
-        .add(live.astype(jnp.int32), mode="drop")
-    )
-    # NOTE: the histogram scatter still runs over M entries; dominated by the
-    # sort either way at current sizes.  Revisit with a Pallas one-hot matmul.
+    if _use_pallas():
+        from nicetpu.kernels.pallas_ops import BINS_PAD, histogram_pallas
+
+        counts = histogram_pallas(jnp.where(live, sorted_bins, BINS_PAD - 1))
+    else:
+        counts = (
+            jnp.zeros(C.TOTAL_SYMBOLS, dtype=jnp.int32)
+            .at[jnp.where(live, sorted_bins, 0)]
+            .add(live.astype(jnp.int32), mode="drop")
+        )
     # Single small readback: counts ++ [overflow] (n_valid = counts.sum()).
     stats = jnp.concatenate([counts, overflow.astype(jnp.int32).reshape(1)])
     return {"sorted_bins": sorted_bins, "stats": stats}
@@ -98,8 +107,15 @@ def pack_compact(sorted_bins, n_valid, aob_lut, code_lut, *, c_cap: int, w_cap: 
     """
     bins_c = jax.lax.slice_in_dim(sorted_bins, 0, c_cap)
     live = jnp.arange(c_cap, dtype=jnp.int32) < jnp.int32(n_valid)
-    aob = jnp.where(live, aob_lut[bins_c], 0)
-    code = jnp.where(live, code_lut[bins_c], jnp.uint32(0))
+    if _use_pallas():
+        from nicetpu.kernels.pallas_ops import BINS_PAD, table_join_pallas
+
+        aob, code = table_join_pallas(
+            jnp.where(live, bins_c, BINS_PAD - 1), aob_lut, code_lut
+        )
+    else:
+        aob = jnp.where(live, aob_lut[bins_c], 0)
+        code = jnp.where(live, code_lut[bins_c], jnp.uint32(0))
 
     offs = jnp.cumsum(aob) - aob
     total_bits = offs[-1] + aob[-1]
