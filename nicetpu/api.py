@@ -70,6 +70,45 @@ def decode(data: bytes, backend: str = "auto") -> np.ndarray:
     return codec.decode(data)
 
 
+def encode_batch(imgs: list[np.ndarray], backend: str = "auto") -> list[bytes]:
+    """Batch encode (BASELINE configs 2/4).  Same-shape batches use the
+    TPU pipeline with per-image Huffman tables; mixed sizes use the OpenMP
+    native path (or per-image fallback)."""
+    imgs = [_to_rgb(im) for im in imgs]
+    same_shape = len({im.shape for im in imgs}) == 1
+    if backend in ("auto", "jax") and same_shape:
+        try:
+            from nicetpu.kernels.encode2 import encode_batch as jb
+
+            return jb(np.stack(imgs))
+        except ImportError:
+            if backend == "jax":
+                raise
+    if backend in ("auto", "native", "jax"):
+        try:
+            from nicetpu.hostref.oracle import encode_batch_native
+
+            return encode_batch_native(imgs)
+        except (ImportError, OSError):
+            if backend == "native":
+                raise
+    return [encode(im, backend="spec") for im in imgs]
+
+
+def decode_batch(datas: list[bytes], backend: str = "auto") -> list[np.ndarray]:
+    """Batch decode via the OpenMP native path (entropy decode is serial per
+    image, SURVEY §7.3.5; parallelism comes from images)."""
+    if backend in ("auto", "native"):
+        try:
+            from nicetpu.hostref.oracle import decode_batch_native
+
+            return decode_batch_native(datas)
+        except (ImportError, OSError):
+            if backend == "native":
+                raise
+    return [decode(d, backend="spec") for d in datas]
+
+
 def imread(path: str) -> np.ndarray:
     """Read a PNG (or any PIL-supported image) as (H, W, 3|4) uint8."""
     from PIL import Image

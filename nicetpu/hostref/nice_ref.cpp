@@ -480,6 +480,35 @@ int64_t nice_encode(const uint8_t* rgb, uint32_t width, uint32_t height,
 
 void nice_free(uint8_t* buf) { std::free(buf); }
 
+// Batch encode: n images in parallel (OpenMP across images — the host-side
+// throughput path for the streamed-corpus config, BASELINE config 4).
+// Per-image failures are reported in out_lens[i] (< 0); returns 0/-1 overall.
+int64_t nice_encode_batch(const uint8_t* const* imgs, const uint32_t* ws,
+                          const uint32_t* hs, int32_t n, uint8_t** out_bufs,
+                          int64_t* out_lens) {
+  int err = 0;
+#pragma omp parallel for schedule(dynamic)
+  for (int32_t i = 0; i < n; i++) {
+    out_lens[i] = nice_encode(imgs[i], ws[i], hs[i], &out_bufs[i]);
+    if (out_lens[i] < 0) err = 1;
+  }
+  return err ? -1 : 0;
+}
+
+int64_t nice_decode(const uint8_t* data, size_t len, uint8_t* out);
+
+// Batch decode: n .nice payloads in parallel into caller buffers.
+int64_t nice_decode_batch(const uint8_t* const* datas, const size_t* lens,
+                          int32_t n, uint8_t* const* outs, int64_t* rcs) {
+  int err = 0;
+#pragma omp parallel for schedule(dynamic)
+  for (int32_t i = 0; i < n; i++) {
+    rcs[i] = nice_decode(datas[i], lens[i], outs[i]);
+    if (rcs[i] != 0) err = 1;
+  }
+  return err ? -1 : 0;
+}
+
 int32_t nice_read_header(const uint8_t* data, size_t len, uint32_t* w,
                          uint32_t* h, uint8_t* channels) {
   if (len < 13) return -1;

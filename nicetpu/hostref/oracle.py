@@ -27,6 +27,7 @@ def _build() -> None:
         "-O3",
         "-march=native",
         "-std=c++17",
+        "-fopenmp",
         "-shared",
         "-fPIC",
         _SRC,
@@ -68,6 +69,23 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_void_p,
             ctypes.c_int32,
             ctypes.c_void_p,
+        ]
+        lib.nice_encode_batch.restype = ctypes.c_int64
+        lib.nice_encode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.nice_decode_batch.restype = ctypes.c_int64
+        lib.nice_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64),
         ]
         _lib = lib
         return lib
@@ -111,6 +129,71 @@ def decode_native(data: bytes) -> np.ndarray:
     if rc != 0:
         raise ValueError(f"nice_decode failed: {rc}")
     return out
+
+
+def encode_batch_native(imgs: list[np.ndarray]) -> list[bytes]:
+    """OpenMP parallel batch encode (mixed sizes allowed)."""
+    lib = get_lib()
+    n = len(imgs)
+    imgs = [np.ascontiguousarray(im) for im in imgs]
+    for im in imgs:
+        if im.ndim != 3 or im.shape[2] != 3 or im.dtype != np.uint8:
+            raise ValueError("expected (H, W, 3) uint8 images")
+        if im.shape[1] < 4:
+            raise ValueError("width must be >= 4 (SURVEY A.8.7)")
+    img_ptrs = (ctypes.c_void_p * n)(
+        *[im.ctypes.data_as(ctypes.c_void_p).value for im in imgs]
+    )
+    ws = (ctypes.c_uint32 * n)(*[im.shape[1] for im in imgs])
+    hs = (ctypes.c_uint32 * n)(*[im.shape[0] for im in imgs])
+    out_bufs = (ctypes.c_void_p * n)()
+    out_lens = (ctypes.c_int64 * n)()
+    rc = lib.nice_encode_batch(img_ptrs, ws, hs, n, out_bufs, out_lens)
+    results = []
+    try:
+        for i in range(n):
+            if out_lens[i] < 0:
+                raise ValueError(f"nice_encode failed for image {i}: {out_lens[i]}")
+            results.append(ctypes.string_at(out_bufs[i], out_lens[i]))
+    finally:
+        for i in range(n):
+            if out_bufs[i]:
+                lib.nice_free(out_bufs[i])
+    if rc != 0 and len(results) != n:
+        raise ValueError("batch encode failed")
+    return results
+
+
+def decode_batch_native(datas: list[bytes]) -> list[np.ndarray]:
+    """OpenMP parallel batch decode."""
+    lib = get_lib()
+    n = len(datas)
+    outs = []
+    dims = []
+    for d in datas:
+        w = ctypes.c_uint32()
+        h = ctypes.c_uint32()
+        ch = ctypes.c_uint8()
+        if lib.nice_read_header(d, len(d), ctypes.byref(w), ctypes.byref(h), ctypes.byref(ch)) != 0:
+            raise ValueError("truncated .nice header")
+        if ch.value != 3:
+            raise ValueError("only channels=3 decode is defined (SURVEY A.8.3)")
+        outs.append(np.empty((h.value, w.value, 3), dtype=np.uint8))
+        dims.append((h.value, w.value))
+    bufs = [ctypes.create_string_buffer(d, len(d)) for d in datas]
+    data_ptrs = (ctypes.c_void_p * n)(
+        *[ctypes.cast(b, ctypes.c_void_p).value for b in bufs]
+    )
+    lens = (ctypes.c_size_t * n)(*[len(d) for d in datas])
+    out_ptrs = (ctypes.c_void_p * n)(
+        *[o.ctypes.data_as(ctypes.c_void_p).value for o in outs]
+    )
+    rcs = (ctypes.c_int64 * n)()
+    lib.nice_decode_batch(data_ptrs, lens, n, out_ptrs, rcs)
+    for i in range(n):
+        if rcs[i] != 0:
+            raise ValueError(f"nice_decode failed for item {i}: {rcs[i]}")
+    return outs
 
 
 def code_lengths_native(counts: np.ndarray) -> np.ndarray:

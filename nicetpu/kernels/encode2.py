@@ -1,19 +1,22 @@
-"""Encode pipeline v2: sort-compaction + small scatters (measured TPU costs).
+"""Encode pipeline v2: batched sort-compaction + MXU kernels.
 
 Primitive cost model measured on TPU v5e via this repo's microbenchmarks:
   * element-wise / static slicing: ~HBM bandwidth (effectively free)
   * lax.sort: ~2 ns/element        * scatter/gather: ~5-9 ns/element
+  * MXU one-hot matmul lookups: ~1 ns/element (pallas_ops.py)
   * dispatch round-trip: ~25 ms    * H2D ~90 MB/s, D2H ~40 MB/s (axon tunnel)
 
 Consequences implemented here:
   1. Token slots are compacted to the ~1.5-3 tokens/pixel that are actually
      valid with ONE key-value sort (key = masked slot index), so every
-     downstream scatter/gather touches C ~ 2N elements instead of 16N.
-  2. The slot layout is adaptive: 3 run-digit slots (runs <= 512 pixels)
+     downstream op touches C ~ 2N elements instead of 16N.
+  2. Histogram and Huffman-table joins run on the MXU (pallas_ops).
+  3. The slot layout is adaptive: 3 run-digit slots (runs <= 512 pixels)
      on the fast path; a device-computed overflow flag triggers the full
      11-digit layout only when an image contains longer runs.
-  3. Exactly two device dispatches per image (tokenize+compact+histogram,
-     then table-join+offsets+pack), with only tiny host transfers between.
+  4. The whole pipeline is batched over same-shape images (Kodak-24 /
+     streamed-corpus configs): exactly two device dispatches and two small
+     host transfers PER BATCH, with per-image Huffman tables.
 """
 
 from __future__ import annotations
@@ -26,9 +29,9 @@ import numpy as np
 
 from nicetpu.format import constants as C
 from nicetpu.format import headers
-from nicetpu.kernels.scan import suffix_min
-from nicetpu.kernels.tokenize import assemble_slots, cascade, histogram
 from nicetpu.kernels.bitpack import words_to_payload
+from nicetpu.kernels.scan import suffix_min
+from nicetpu.kernels.tokenize import assemble_slots, cascade
 
 
 def _use_pallas() -> bool:
@@ -37,12 +40,11 @@ def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def _slot_arrays(img_flat, *, width: int, ndigits_cap: int):
-    """cascade + slot assembly, truncated to 5 + ndigits_cap slots.
+INVALID_BIN = 895  # = pallas_ops.BINS_PAD - 1; >= 858 means "no token"
 
-    Returns (streams, symbols, valid) each (N, S) plus overflow flag
-    (True if some run needs more digits than ndigits_cap).
-    """
+
+def _slot_arrays(img_flat, *, width: int, ndigits_cap: int):
+    """cascade + slot assembly, truncated to 5 + ndigits_cap slots."""
     N = img_flat.shape[0]
     x = img_flat.astype(jnp.int32)
     cas = cascade(x, jnp.int32(0), N, width=width, halo=0)
@@ -59,13 +61,9 @@ def _slot_arrays(img_flat, *, width: int, ndigits_cap: int):
     return streams[:, :S], symbols[:, :S], valid[:, :S], overflow
 
 
-@partial(jax.jit, static_argnames=("width", "ndigits_cap"))
-def tokenize_compact(img_flat, *, width: int, ndigits_cap: int):
-    """Dispatch A: tokenize, compact tokens by sort, histogram the compacts.
-
-    Returns dict: sorted_bins (N*S,) int32 in serial token order (valid
-    prefix), counts (858,), overflow flag.
-    """
+def _tokenize_core(img_flat, *, width: int, ndigits_cap: int):
+    """(N, 3) -> (sorted_bins (M,), overflow): valid bins compacted to the
+    front in serial token order; invalid tail = INVALID_BIN."""
     streams, symbols, valid, overflow = _slot_arrays(
         img_flat, width=width, ndigits_cap=ndigits_cap
     )
@@ -73,53 +71,47 @@ def tokenize_compact(img_flat, *, width: int, ndigits_cap: int):
     base = jnp.asarray(np.asarray(C.STREAM_BASE, dtype=np.int32))
     bins = (base[streams] + symbols).reshape(-1)
     v = valid.reshape(-1)
-
     idx = jnp.arange(M, dtype=jnp.int32)
-    key = jnp.where(v, idx, M + idx)  # unique keys; valid tokens first, in order
-    _, sorted_bins = jax.lax.sort((key, bins), num_keys=1)
-
-    n_valid = v.sum().astype(jnp.int32)
-    # Histogram on the compacted prefix: mask out the invalid tail.
-    cidx = jnp.arange(M, dtype=jnp.int32)
-    live = cidx < n_valid
-    if _use_pallas():
-        from nicetpu.kernels.pallas_ops import BINS_PAD, histogram_pallas
-
-        counts = histogram_pallas(jnp.where(live, sorted_bins, BINS_PAD - 1))
-    else:
-        counts = (
-            jnp.zeros(C.TOTAL_SYMBOLS, dtype=jnp.int32)
-            .at[jnp.where(live, sorted_bins, 0)]
-            .add(live.astype(jnp.int32), mode="drop")
-        )
-    # Single small readback: counts ++ [overflow] (n_valid = counts.sum()).
-    stats = jnp.concatenate([counts, overflow.astype(jnp.int32).reshape(1)])
-    return {"sorted_bins": sorted_bins, "stats": stats}
+    key = jnp.where(v, idx, M + idx)  # unique; valid tokens first, in order
+    _, sorted_bins, sorted_v = jax.lax.sort((key, bins, v), num_keys=1)
+    sorted_bins = jnp.where(sorted_v, sorted_bins, INVALID_BIN)
+    return sorted_bins, overflow
 
 
-@partial(jax.jit, static_argnames=("c_cap", "w_cap"))
-def pack_compact(sorted_bins, n_valid, aob_lut, code_lut, *, c_cap: int, w_cap: int):
-    """Dispatch B: join tables, exclusive-scan offsets, place codes in words.
+@partial(jax.jit, static_argnames=("width", "ndigits_cap"))
+def tokenize_compact(imgs_flat, *, width: int, ndigits_cap: int):
+    """Dispatch A (batched): imgs_flat (B, N, 3) uint8.
 
-    sorted_bins: (M,) from tokenize_compact; only the first n_valid entries
-    are real (n_valid <= c_cap statically guaranteed by the caller's bucket).
-    Returns (words (w_cap,) uint32, total_bits int32).
+    Returns (sorted_bins (B, M) int32, stats (B, 859) int32) where
+    stats = per-image histogram ++ [overflow flag].
     """
-    bins_c = jax.lax.slice_in_dim(sorted_bins, 0, c_cap)
-    live = jnp.arange(c_cap, dtype=jnp.int32) < jnp.int32(n_valid)
+    core = partial(_tokenize_core, width=width, ndigits_cap=ndigits_cap)
+    sorted_bins, overflow = jax.vmap(core)(imgs_flat)
     if _use_pallas():
-        from nicetpu.kernels.pallas_ops import BINS_PAD, table_join_pallas
+        from nicetpu.kernels.pallas_ops import histogram_pallas
 
-        aob, code = table_join_pallas(
-            jnp.where(live, bins_c, BINS_PAD - 1), aob_lut, code_lut
-        )
+        counts = histogram_pallas(sorted_bins)
     else:
-        aob = jnp.where(live, aob_lut[bins_c], 0)
-        code = jnp.where(live, code_lut[bins_c], jnp.uint32(0))
 
+        def hist1(b):
+            live = b < C.TOTAL_SYMBOLS
+            return (
+                jnp.zeros(C.TOTAL_SYMBOLS, dtype=jnp.int32)
+                .at[jnp.where(live, b, 0)]
+                .add(live.astype(jnp.int32), mode="drop")
+            )
+
+        counts = jax.vmap(hist1)(sorted_bins)
+    stats = jnp.concatenate(
+        [counts, overflow.astype(jnp.int32).reshape(-1, 1)], axis=1
+    )
+    return sorted_bins, stats
+
+
+def _place(aob, code, *, w_cap: int):
+    """Exclusive-scan offsets + two-word scatter placement (one image)."""
     offs = jnp.cumsum(aob) - aob
     total_bits = offs[-1] + aob[-1]
-
     w = (offs >> 5).astype(jnp.int32)
     rb = offs & 31
     L = aob
@@ -130,11 +122,35 @@ def pack_compact(sorted_bins, n_valid, aob_lut, code_lut, *, c_cap: int, w_cap: 
     mask_k = (jnp.uint32(1) << k.astype(jnp.uint32)) - jnp.uint32(1)
     shift_lo = jnp.clip(32 - k, 0, 31).astype(jnp.uint32)
     lo = jnp.where(fits, jnp.uint32(0), (code & mask_k) << shift_lo)
-
     words = jnp.zeros(w_cap, dtype=jnp.uint32)
     words = words.at[w].add(hi, mode="drop")
     words = words.at[w + 1].add(lo, mode="drop")
     return words, total_bits
+
+
+@partial(jax.jit, static_argnames=("c_cap", "w_cap"))
+def pack_compact(sorted_bins, aob_tbl, code_tbl, *, c_cap: int, w_cap: int):
+    """Dispatch B (batched): join per-image tables, scan offsets, place.
+
+    sorted_bins (B, M); aob_tbl (B, 858) int32; code_tbl (B, 858) uint32.
+    Returns (words (B, w_cap) uint32, total_bits (B,) int32).
+    """
+    bins_c = sorted_bins[:, :c_cap]
+    if _use_pallas():
+        from nicetpu.kernels.pallas_ops import table_join_pallas
+
+        aob, code = table_join_pallas(bins_c, aob_tbl, code_tbl)
+    else:
+
+        def join1(b, at, ct):
+            live = b < C.TOTAL_SYMBOLS
+            bi = jnp.clip(b, 0, C.TOTAL_SYMBOLS - 1)
+            return jnp.where(live, at[bi], 0), jnp.where(
+                live, ct[bi], jnp.uint32(0)
+            )
+
+        aob, code = jax.vmap(join1)(bins_c, aob_tbl, code_tbl)
+    return jax.vmap(partial(_place, w_cap=w_cap))(aob, code)
 
 
 def _bucket(n: int, buckets=(1, 2, 3, 4, 6, 8, 12, 16)) -> int:
@@ -145,51 +161,69 @@ def _bucket(n: int, buckets=(1, 2, 3, 4, 6, 8, 12, 16)) -> int:
     return buckets[-1]
 
 
-def encode_jax_v2(img: np.ndarray) -> bytes:
-    """Encode an (H, W, 3) uint8 image on the accelerator (v2 pipeline)."""
+def encode_batch(imgs: np.ndarray) -> list[bytes]:
+    """Encode a (B, H, W, 3) uint8 batch of same-shape images on the
+    accelerator, with per-image Huffman tables (BASELINE configs 2/4)."""
     from nicetpu.kernels.encode import _build_tables
 
-    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
-        raise ValueError("expected (H, W, 3) uint8 image")
-    H, W, _ = img.shape
+    if imgs.ndim != 4 or imgs.shape[3] != 3 or imgs.dtype != np.uint8:
+        raise ValueError("expected (B, H, W, 3) uint8 batch")
+    B, H, W, _ = imgs.shape
     if W < C.MIN_WIDTH:
         raise ValueError(f"width must be >= {C.MIN_WIDTH} (SURVEY A.8.7)")
     N = H * W
-    flat = jnp.asarray(img.reshape(N, 3))
+    flat = jnp.asarray(imgs.reshape(B, N, 3))
 
-    tok = tokenize_compact(flat, width=W, ndigits_cap=3)
-    stats = np.asarray(tok["stats"]).astype(np.int64)
-    if stats[-1]:  # run needing > 3 digits: rare full-layout fallback
-        tok = tokenize_compact(flat, width=W, ndigits_cap=C.MAX_RUN_DIGITS)
-        stats = np.asarray(tok["stats"]).astype(np.int64)
+    sorted_bins, stats_d = tokenize_compact(flat, width=W, ndigits_cap=3)
+    stats = np.asarray(stats_d).astype(np.int64)
+    if stats[:, -1].any():  # some run needs > 3 digits: full-layout fallback
+        sorted_bins, stats_d = tokenize_compact(
+            flat, width=W, ndigits_cap=C.MAX_RUN_DIGITS
+        )
+        stats = np.asarray(stats_d).astype(np.int64)
 
-    counts = stats[:-1]
-    n_valid = int(counts.sum())
+    counts = stats[:, :-1]  # (B, 858)
+    n_valid = counts.sum(axis=1)
+    tables = [_build_tables(counts[b]) for b in range(B)]
+    aob_np = np.stack([t[0] for t in tables]).astype(np.int32)
+    code_np = np.stack([t[1] for t in tables])
+    needed_bits = (counts * aob_np.astype(np.int64)).sum(axis=1)
 
-    flat_lengths, flat_codes = _build_tables(counts)
-    needed_bits = int((counts * flat_lengths.astype(np.int64)).sum())
-
-    # Static capacity buckets (token count in units of N/2; words in N/8)
-    M = int(tok["sorted_bins"].shape[0])
-    c_cap = min(max(_bucket(-(-2 * n_valid // N)) * ((N + 1) // 2), n_valid), M)
-    needed_words = needed_bits // 32 + 2
+    M = int(sorted_bins.shape[1])
+    c_cap = min(
+        max(_bucket(int(-(-2 * n_valid.max() // N))) * ((N + 1) // 2), int(n_valid.max())),
+        M,
+    )
+    needed_words = int(needed_bits.max()) // 32 + 2
     w_cap = max(
-        _bucket(-(-needed_words * 8 // max(N, 8))) * (N // 8 + 1) + 2, needed_words + 2
+        _bucket(-(-needed_words * 8 // max(N, 8))) * (N // 8 + 1) + 2,
+        needed_words + 2,
     )
 
-    words, total_bits = pack_compact(
-        tok["sorted_bins"],
-        jnp.int32(n_valid),
-        jnp.asarray(flat_lengths.astype(np.int32)),
-        jnp.asarray(flat_codes),
+    words_d, totals_d = pack_compact(
+        sorted_bins,
+        jnp.asarray(aob_np),
+        jnp.asarray(code_np),
         c_cap=c_cap,
         w_cap=w_cap,
     )
-    total_bits = int(total_bits)
-    assert total_bits == needed_bits, (total_bits, needed_bits)
+    words = np.asarray(words_d)
+    totals = np.asarray(totals_d)
 
-    return (
-        headers.pack_file_header(W, H, 3)
-        + headers.pack_stream_headers(flat_lengths)
-        + words_to_payload(np.asarray(words), total_bits)
-    )
+    out = []
+    for b in range(B):
+        total_bits = int(totals[b])
+        assert total_bits == int(needed_bits[b]), (b, total_bits, needed_bits[b])
+        out.append(
+            headers.pack_file_header(W, H, 3)
+            + headers.pack_stream_headers(aob_np[b].astype(np.uint8))
+            + words_to_payload(words[b], total_bits)
+        )
+    return out
+
+
+def encode_jax_v2(img: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 image on the accelerator (batch of one)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("expected (H, W, 3) uint8 image")
+    return encode_batch(img[None])[0]

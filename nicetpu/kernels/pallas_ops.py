@@ -1,21 +1,23 @@
-"""Pallas TPU kernels for the codec's hot ops.
+"""Pallas TPU kernels for the codec's hot ops (batched).
 
 The measured cost model (see encode2.py) shows XLA's scatter/gather lower to
 ~5-9 ns/element on TPU while the MXU and VPU stream at bandwidth.  These
 kernels therefore express histogram and table lookups as one-hot compare
-matmuls entirely inside VMEM — the MXU becomes the random-access engine:
+matmuls entirely inside VMEM — the MXU/VPU become the random-access engine.
 
-  * histogram:   counts = sum_chunks ones(1,K) @ onehot(K, BINS)
-  * table join:  vals   = onehot(K, BINS) @ table(BINS, 3)
+Layout notes (Mosaic tiling rules):
+  * token streams travel as natural (rows, 128) int32 tiles; each kernel
+    invocation owns an (8, 128) block = 1024 tokens,
+  * the one-hot is built per 128-lane row by comparing a sublane iota
+    (BINS_PAD, 128) against the lane-broadcast row — no in-kernel relayouts,
+  * table entries are split into bytes (<= 255, exact in bf16); sums stay
+    within f32's 24-bit mantissa; code reassembly happens in int32.
 
-Exactness: every matmul operand is one-hot/boolean in bf16 and every summed
-value fits f32's 24-bit mantissa (chunk counts <= K; table entries are split
-into 16-bit halves), so results are exact integers.
+All kernels take a leading batch dimension with per-image tables (Kodak-24 /
+streamed-corpus configs, BASELINE configs 2/4).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -27,96 +29,137 @@ from nicetpu.format import constants as C
 
 # 858 real bins padded to a lane-aligned 896; bin 858+ = masked/invalid.
 BINS_PAD = 896
-CHUNK = 2048
+BLOCK_TOKENS = 1024  # (8, 128) tile per kernel invocation
+
+
+def _to_tiles(bins: jnp.ndarray) -> tuple[jnp.ndarray, int, int]:
+    """(B, M) -> (B*rows, 128) padded to BLOCK_TOKENS per image."""
+    B, M = bins.shape
+    m_pad = -(-M // BLOCK_TOKENS) * BLOCK_TOKENS
+    if m_pad != M:
+        bins = jnp.pad(bins, ((0, 0), (0, m_pad - M)), constant_values=BINS_PAD - 1)
+    rows = m_pad // 128
+    return bins.reshape(B * rows, 128), m_pad, m_pad // BLOCK_TOKENS
 
 
 def _hist_kernel(bins_ref, out_ref):
-    i = pl.program_id(0)
+    i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    chunk = bins_ref[:]  # (CHUNK, 1) int32
-    ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BINS_PAD), 1)
-    oh = (chunk == ids).astype(jnp.bfloat16)
-    ones = jnp.ones((1, CHUNK), jnp.bfloat16)
-    counts = jax.lax.dot_general(
-        ones, oh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (1, BINS_PAD); chunk counts <= CHUNK < 2^24 => exact
-    out_ref[:] += counts.astype(jnp.int32)
+    chunk = bins_ref[:]  # (8, 128) int32
+    ids = jax.lax.broadcasted_iota(jnp.int32, (BINS_PAD, 128), 0)
+    acc = jnp.zeros((BINS_PAD, 1), jnp.float32)
+    for r in range(8):
+        row = chunk[r : r + 1, :]  # (1, 128)
+        oh = (jnp.broadcast_to(row, (BINS_PAD, 128)) == ids).astype(jnp.float32)
+        acc = acc + jnp.sum(oh, axis=1, keepdims=True)
+    out_ref[:] += acc.astype(jnp.int32)
 
 
 @jax.jit
 def histogram_pallas(bins: jnp.ndarray) -> jnp.ndarray:
-    """(M,) int32 bins (invalid entries >= 858) -> (858,) int32 counts."""
-    M = bins.shape[0]
-    m_pad = -(-M // CHUNK) * CHUNK
-    if m_pad != M:
-        bins = jnp.pad(bins, (0, m_pad - M), constant_values=BINS_PAD - 1)
-    grid = m_pad // CHUNK
+    """(B, M) int32 bins (invalid entries >= 858) -> (B, 858) int32 counts."""
+    B, M = bins.shape
+    tiles, m_pad, blocks = _to_tiles(bins)
+    rows = m_pad // 128
     out = pl.pallas_call(
         _hist_kernel,
-        grid=(grid,),
+        grid=(B, blocks),
         in_specs=[
-            pl.BlockSpec((CHUNK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (8, 128),
+                lambda b, i, r=rows: (b * (r // 8) + i, 0),
+                memory_space=pltpu.VMEM,
+            )
         ],
-        out_specs=pl.BlockSpec((1, BINS_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, BINS_PAD), jnp.int32),
-    )(bins.reshape(m_pad, 1))
-    return out[0, : C.TOTAL_SYMBOLS]
+        out_specs=pl.BlockSpec(
+            (BINS_PAD, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * BINS_PAD, 1), jnp.int32),
+    )(tiles)
+    return out.reshape(B, BINS_PAD)[:, : C.TOTAL_SYMBOLS]
 
 
-def _join_kernel(bins_ref, table_ref, out_ref):
-    chunk = bins_ref[:]  # (CHUNK, 1) int32
-    ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BINS_PAD), 1)
-    oh = (chunk == ids).astype(jnp.bfloat16)
-    vals = jax.lax.dot_general(
-        oh,
-        table_ref[:].astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (CHUNK, 128); one-hot rows select single entries <= 255, exact in bf16
-    out_ref[:] = vals.astype(jnp.int32)
+def _join_kernel(bins_ref, table_ref, aob_ref, code_ref):
+    chunk = bins_ref[:]  # (8, 128) int32
+    ids = jax.lax.broadcasted_iota(jnp.int32, (BINS_PAD, 128), 0)
+    table = table_ref[:]  # (BINS_PAD, 128) bf16: cols 0..4 = aob, code bytes
+    aob_rows = []
+    code_rows = []
+    for r in range(8):
+        row = chunk[r : r + 1, :]
+        oh = (jnp.broadcast_to(row, (BINS_PAD, 128)) == ids).astype(jnp.bfloat16)
+        # (128 table cols, BINS_PAD) @ (BINS_PAD, 128 tokens) -> (128, 128)
+        vals = jax.lax.dot_general(
+            table,
+            oh,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        iv = vals.astype(jnp.int32)
+        aob_rows.append(iv[0:1, :])
+        code_rows.append(
+            (iv[1:2, :] << 24) | (iv[2:3, :] << 16) | (iv[3:4, :] << 8) | iv[4:5, :]
+        )
+    aob_ref[:] = jnp.concatenate(aob_rows, axis=0)
+    code_ref[:] = jnp.concatenate(code_rows, axis=0)
 
 
 @jax.jit
-def table_join_pallas(bins: jnp.ndarray, aob_lut: jnp.ndarray, code_lut: jnp.ndarray):
-    """MXU table lookup: (M,) bins -> (aob (M,) int32, code (M,) uint32).
+def table_join_pallas(
+    bins: jnp.ndarray, aob_tbl: jnp.ndarray, code_tbl: jnp.ndarray
+):
+    """MXU table lookup with per-image tables.
 
-    Invalid bins (>= 858) yield aob 0.  The table packs [aob, code byte 3..0]
-    into lane-aligned 128 columns; every entry is <= 255 so the bf16 one-hot
-    matmul is exact.
+    bins (B, M) int32 (invalid >= 858); aob_tbl (B, 858) int32;
+    code_tbl (B, 858) uint32.  Returns aob (B, M) int32, code (B, M) uint32.
     """
-    M = bins.shape[0]
-    table = jnp.zeros((BINS_PAD, 128), jnp.int32)
-    table = table.at[: C.TOTAL_SYMBOLS, 0].set(aob_lut.astype(jnp.int32))
-    for b in range(4):
-        table = table.at[: C.TOTAL_SYMBOLS, 1 + b].set(
-            ((code_lut >> jnp.uint32(8 * (3 - b))) & jnp.uint32(0xFF)).astype(
-                jnp.int32
+    B, M = bins.shape
+    table = jnp.zeros((B, BINS_PAD, 128), jnp.bfloat16)
+    table = table.at[:, : C.TOTAL_SYMBOLS, 0].set(aob_tbl.astype(jnp.bfloat16))
+    for byte in range(4):
+        table = table.at[:, : C.TOTAL_SYMBOLS, 1 + byte].set(
+            ((code_tbl >> jnp.uint32(8 * (3 - byte))) & jnp.uint32(0xFF)).astype(
+                jnp.bfloat16
             )
         )
+    table = table.reshape(B * BINS_PAD, 128)
 
-    m_pad = -(-M // CHUNK) * CHUNK
-    if m_pad != M:
-        bins = jnp.pad(bins, (0, m_pad - M), constant_values=BINS_PAD - 1)
-    grid = m_pad // CHUNK
-    out = pl.pallas_call(
+    tiles, m_pad, blocks = _to_tiles(bins)
+    rows = m_pad // 128
+    aob, code = pl.pallas_call(
         _join_kernel,
-        grid=(grid,),
+        grid=(B, blocks),
         in_specs=[
-            pl.BlockSpec((CHUNK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BINS_PAD, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, 128),
+                lambda b, i, r=rows: (b * (r // 8) + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (BINS_PAD, 128), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((CHUNK, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, 128), jnp.int32),
-    )(bins.reshape(m_pad, 1), table)
-    aob = out[:M, 0]
-    code = (
-        (out[:M, 1].astype(jnp.uint32) << jnp.uint32(24))
-        | (out[:M, 2].astype(jnp.uint32) << jnp.uint32(16))
-        | (out[:M, 3].astype(jnp.uint32) << jnp.uint32(8))
-        | out[:M, 4].astype(jnp.uint32)
-    )
-    return aob, code
+        out_specs=(
+            pl.BlockSpec(
+                (8, 128),
+                lambda b, i, r=rows: (b * (r // 8) + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, 128),
+                lambda b, i, r=rows: (b * (r // 8) + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(tiles.shape, jnp.int32),
+            jax.ShapeDtypeStruct(tiles.shape, jnp.int32),
+        ),
+    )(tiles, table)
+    aob = aob.reshape(B, m_pad)[:, :M]
+    code = code.reshape(B, m_pad)[:, :M]
+    return aob, jax.lax.bitcast_convert_type(code, jnp.uint32)

@@ -1,0 +1,68 @@
+"""Batch APIs: OpenMP native batch + JAX batched pipeline + api dispatch."""
+
+import numpy as np
+import pytest
+
+from nicetpu.spec import codec
+
+oracle = pytest.importorskip("nicetpu.hostref.oracle")
+
+try:
+    oracle.get_lib()
+    HAVE_LIB = True
+except Exception:  # pragma: no cover
+    HAVE_LIB = False
+
+pytestmark = pytest.mark.skipif(not HAVE_LIB, reason="g++ toolchain unavailable")
+
+
+def _mixed_images(seed=0, count=6):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(count):
+        h, w = int(rng.integers(4, 40)), int(rng.integers(4, 40))
+        out.append(
+            (rng.integers(0, 6, (h, w, 1)) * 40 + rng.integers(0, 5, (h, w, 3))).astype(
+                np.uint8
+            )
+        )
+    return out
+
+
+class TestNativeBatch:
+    def test_roundtrip_and_parity(self):
+        imgs = _mixed_images()
+        datas = oracle.encode_batch_native(imgs)
+        for im, d in zip(imgs, datas):
+            assert d == codec.encode(im)
+        outs = oracle.decode_batch_native(datas)
+        for im, o in zip(imgs, outs):
+            np.testing.assert_array_equal(o, im)
+
+
+class TestJaxBatch:
+    def test_batch_matches_spec(self):
+        from nicetpu.kernels.encode2 import encode_batch
+
+        rng = np.random.default_rng(1)
+        imgs = np.stack(
+            [
+                rng.integers(0, 256, (12, 16, 3), dtype=np.uint8),
+                (rng.integers(0, 4, (12, 16, 1)) * 60 + rng.integers(0, 4, (12, 16, 3))).astype(np.uint8),
+                np.full((12, 16, 3), 9, dtype=np.uint8),
+            ]
+        )
+        outs = encode_batch(imgs)
+        for b in range(imgs.shape[0]):
+            assert outs[b] == codec.encode(imgs[b])
+
+
+class TestApiBatch:
+    def test_api_batch_roundtrip(self):
+        from nicetpu import api
+
+        imgs = _mixed_images(seed=2, count=4)
+        datas = api.encode_batch(imgs)
+        outs = api.decode_batch(datas)
+        for im, o in zip(imgs, outs):
+            np.testing.assert_array_equal(o, im)
