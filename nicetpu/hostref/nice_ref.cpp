@@ -214,6 +214,7 @@ struct BitReader {
 // ---------------------------------------------------------------------------
 struct StreamDec {
   int max_aob = 0;
+  int nsyms = 0;
   bool deep = false;
   std::vector<uint16_t> lut_sym;
   std::vector<uint8_t> lut_len;
@@ -222,6 +223,7 @@ struct StreamDec {
   uint64_t aligned_first[MAX_CODE_LEN + 2];
 
   void build(const uint8_t* lengths, int n) {
+    nsyms = n;
     max_aob = 0;
     for (int i = 0; i < n; i++) max_aob = std::max(max_aob, static_cast<int>(lengths[i]));
     std::vector<uint32_t> codes(n);
@@ -275,7 +277,8 @@ struct StreamDec {
       if (aligned_first[l] <= aligned) best_l = l;
     int64_t idx = index_base[best_l] +
                   static_cast<int64_t>((aligned - aligned_first[best_l]) >> (32 - best_l));
-    br.consume(best_l);
+    if (idx < 0 || idx >= nsyms) idx = nsyms - 1;  // corrupt-stream guard
+    br.consume(best_l > 0 ? best_l : 1);
     return sorted_syms[idx];
   }
 };
@@ -536,6 +539,18 @@ int64_t nice_decode(const uint8_t* data, size_t len, uint8_t* out) {
     for (int i = 0; i < ALPHABET[s]; i++)
       lengths[stream_base(s) + i] = static_cast<uint8_t>(hbr.take(7));
   }
+  // Validate: lengths in [1, 31] and Kraft sum <= 1, else the canonical
+  // code ranges would overflow the decoder LUT (corrupt/hostile input; the
+  // reference has no such guard and corrupts memory here).
+  for (int s = 0; s < NUM_STREAMS; s++) {
+    uint64_t kraft = 0;
+    for (int i = 0; i < ALPHABET[s]; i++) {
+      uint8_t ln = lengths[stream_base(s) + i];
+      if (ln < 1 || ln > MAX_CODE_LEN) return -6;
+      kraft += 1ull << (MAX_CODE_LEN - ln);
+    }
+    if (kraft > (1ull << MAX_CODE_LEN)) return -6;
+  }
   StreamDec dec[NUM_STREAMS];
   for (int s = 0; s < NUM_STREAMS; s++)
     dec[s].build(lengths.data() + stream_base(s), ALPHABET[s]);
@@ -557,6 +572,7 @@ int64_t nice_decode(const uint8_t* data, size_t len, uint8_t* out) {
     const uint8_t* pv = out + 3 * prev;
     switch (prefix) {
       case PREFIX_COLOR_LUMA2: {
+        if (pos < W) return -5;  // corrupt stream: predictor out of range
         const uint8_t* up = o - 3 * W;
         int g = dec[SC_LUMA_BASE_DIFF2].read(br) - 32;
         o[1] = static_cast<uint8_t>(g + (pv[1] + up[1]) / 2);
@@ -588,6 +604,7 @@ int64_t nice_decode(const uint8_t* data, size_t len, uint8_t* out) {
       }
       case PREFIX_COLOR_LUMA: {
         int64_t off = lu_off[dec[SC_LUMA_BACK_REF].read(br)];
+        if (pos < off) return -5;  // corrupt stream
         const uint8_t* r3 = o - 3 * off;
         int g = dec[SC_LUMA_BASE_DIFF].read(br) - 32;
         o[1] = static_cast<uint8_t>(g + r3[1]);
@@ -597,6 +614,7 @@ int64_t nice_decode(const uint8_t* data, size_t len, uint8_t* out) {
       }
       case PREFIX_BACK_REF: {
         int64_t off = br_off[dec[SC_BACK_REF].read(br)];
+        if (pos < off) return -5;  // corrupt stream
         const uint8_t* r3 = o - 3 * off;
         o[0] = r3[0]; o[1] = r3[1]; o[2] = r3[2];
         break;

@@ -90,3 +90,30 @@ class TestCrossDecode:
         data[12] = 4
         with pytest.raises(ValueError):
             oracle.decode_native(bytes(data))
+
+
+class TestDecoderRobustness:
+    def test_corruption_never_crashes(self):
+        # The reference corrupts memory / panics on hostile input
+        # (SURVEY A.8.4-5); our decoder must fail cleanly.
+        rng = np.random.default_rng(7)
+        img = (rng.integers(0, 6, (20, 16, 1)) * 40 + rng.integers(0, 5, (20, 16, 3))).astype(np.uint8)
+        data = oracle.encode_native(img)
+        for _ in range(60):
+            buf = bytearray(data)
+            for _ in range(int(rng.integers(1, 6))):
+                buf[int(rng.integers(13, len(buf)))] ^= int(rng.integers(1, 256))
+            try:
+                oracle.decode_native(bytes(buf))  # garbage output is fine
+            except ValueError:
+                pass  # clean error is fine
+
+    def test_truncation_never_crashes(self):
+        rng = np.random.default_rng(8)
+        img = rng.integers(0, 256, (10, 8, 3), dtype=np.uint8)
+        data = oracle.encode_native(img)
+        for cut in (0, 5, 13, 14, 100, len(data) // 2, len(data) - 3):
+            try:
+                oracle.decode_native(data[:cut])
+            except ValueError:
+                pass
