@@ -62,35 +62,35 @@ def _slot_arrays(img_flat, *, width: int, ndigits_cap: int):
 
 
 def _tokenize_core(img_flat, *, width: int, ndigits_cap: int):
-    """(N, 3) -> (sorted_bins (M,), overflow): valid bins compacted to the
-    front in serial token order; invalid tail = INVALID_BIN."""
+    """(N, 3) -> (bins (M,), overflow): flat token bins in serial slot order
+    with INVALID_BIN holes for empty slots.
+
+    No compaction: slot order IS serial token order (SURVEY A.6), and holes
+    cost nothing downstream (aob 0 -> zero contribution at a repeated bit
+    offset).  A compaction sort was measured at ~14 ns/token on this TPU —
+    4x the entire rest of the pipeline — so the pipeline stays hole-ful.
+    """
     streams, symbols, valid, overflow = _slot_arrays(
         img_flat, width=width, ndigits_cap=ndigits_cap
     )
-    M = streams.shape[0] * streams.shape[1]
     base = jnp.asarray(np.asarray(C.STREAM_BASE, dtype=np.int32))
-    bins = (base[streams] + symbols).reshape(-1)
-    v = valid.reshape(-1)
-    idx = jnp.arange(M, dtype=jnp.int32)
-    key = jnp.where(v, idx, M + idx)  # unique; valid tokens first, in order
-    _, sorted_bins, sorted_v = jax.lax.sort((key, bins, v), num_keys=1)
-    sorted_bins = jnp.where(sorted_v, sorted_bins, INVALID_BIN)
-    return sorted_bins, overflow
+    bins = jnp.where(valid, base[streams] + symbols, INVALID_BIN).reshape(-1)
+    return bins, overflow
 
 
 @partial(jax.jit, static_argnames=("width", "ndigits_cap"))
 def tokenize_compact(imgs_flat, *, width: int, ndigits_cap: int):
     """Dispatch A (batched): imgs_flat (B, N, 3) uint8.
 
-    Returns (sorted_bins (B, M) int32, stats (B, 859) int32) where
-    stats = per-image histogram ++ [overflow flag].
+    Returns (bins (B, M) int32 in serial slot order with INVALID_BIN holes,
+    stats (B, 859) int32) where stats = per-image histogram ++ [overflow].
     """
     core = partial(_tokenize_core, width=width, ndigits_cap=ndigits_cap)
-    sorted_bins, overflow = jax.vmap(core)(imgs_flat)
+    bins, overflow = jax.vmap(core)(imgs_flat)
     if _use_pallas():
         from nicetpu.kernels.pallas_ops import histogram_pallas
 
-        counts = histogram_pallas(sorted_bins)
+        counts = histogram_pallas(bins)
     else:
 
         def hist1(b):
@@ -101,17 +101,44 @@ def tokenize_compact(imgs_flat, *, width: int, ndigits_cap: int):
                 .add(live.astype(jnp.int32), mode="drop")
             )
 
-        counts = jax.vmap(hist1)(sorted_bins)
+        counts = jax.vmap(hist1)(bins)
     stats = jnp.concatenate(
         [counts, overflow.astype(jnp.int32).reshape(-1, 1)], axis=1
     )
-    return sorted_bins, stats
+    return bins, stats
+
+
+def _cumsum_matmul(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact inclusive cumsum along axis -1 via per-block triangular matmul
+    (MXU) + small cross-block int32 scan.  x: (..., L) int32 with L % 512 == 0
+    and per-block sums < 2^24 (aob <= 31 per element guarantees it).
+    """
+    K = 512
+    lead = x.shape[:-1]
+    L = x.shape[-1]
+    blocks = x.reshape(*lead, L // K, K).astype(jnp.bfloat16)
+    tri = jnp.tril(jnp.ones((K, K), jnp.bfloat16))
+    inner = jax.lax.dot_general(
+        blocks,
+        tri,
+        (((blocks.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # inclusive within block; values <= 512*31 < 2^24 => exact
+    block_sums = inner[..., -1].astype(jnp.int32)  # (..., L//K)
+    block_off = jnp.cumsum(block_sums, axis=-1) - block_sums
+    return (inner.astype(jnp.int32) + block_off[..., None]).reshape(*lead, L)
 
 
 def _place(aob, code, *, w_cap: int):
     """Exclusive-scan offsets + two-word scatter placement (one image)."""
-    offs = jnp.cumsum(aob) - aob
-    total_bits = offs[-1] + aob[-1]
+    L = aob.shape[0]
+    if L % 512 == 0:
+        incl = _cumsum_matmul(aob)
+        offs = incl - aob
+        total_bits = incl[-1]
+    else:
+        offs = jnp.cumsum(aob) - aob
+        total_bits = offs[-1] + aob[-1]
     w = (offs >> 5).astype(jnp.int32)
     rb = offs & 31
     L = aob
@@ -128,18 +155,18 @@ def _place(aob, code, *, w_cap: int):
     return words, total_bits
 
 
-@partial(jax.jit, static_argnames=("c_cap", "w_cap"))
-def pack_compact(sorted_bins, aob_tbl, code_tbl, *, c_cap: int, w_cap: int):
+@partial(jax.jit, static_argnames=("w_cap",))
+def pack_compact(bins, aob_tbl, code_tbl, *, w_cap: int):
     """Dispatch B (batched): join per-image tables, scan offsets, place.
 
-    sorted_bins (B, M); aob_tbl (B, 858) int32; code_tbl (B, 858) uint32.
+    bins (B, M) with INVALID_BIN holes; aob_tbl (B, 858) int32;
+    code_tbl (B, 858) uint32.
     Returns (words (B, w_cap) uint32, total_bits (B,) int32).
     """
-    bins_c = sorted_bins[:, :c_cap]
     if _use_pallas():
         from nicetpu.kernels.pallas_ops import table_join_pallas
 
-        aob, code = table_join_pallas(bins_c, aob_tbl, code_tbl)
+        aob, code = table_join_pallas(bins, aob_tbl, code_tbl)
     else:
 
         def join1(b, at, ct):
@@ -149,7 +176,7 @@ def pack_compact(sorted_bins, aob_tbl, code_tbl, *, c_cap: int, w_cap: int):
                 live, ct[bi], jnp.uint32(0)
             )
 
-        aob, code = jax.vmap(join1)(bins_c, aob_tbl, code_tbl)
+        aob, code = jax.vmap(join1)(bins, aob_tbl, code_tbl)
     return jax.vmap(partial(_place, w_cap=w_cap))(aob, code)
 
 
@@ -174,26 +201,20 @@ def encode_batch(imgs: np.ndarray) -> list[bytes]:
     N = H * W
     flat = jnp.asarray(imgs.reshape(B, N, 3))
 
-    sorted_bins, stats_d = tokenize_compact(flat, width=W, ndigits_cap=3)
+    bins, stats_d = tokenize_compact(flat, width=W, ndigits_cap=3)
     stats = np.asarray(stats_d).astype(np.int64)
     if stats[:, -1].any():  # some run needs > 3 digits: full-layout fallback
-        sorted_bins, stats_d = tokenize_compact(
+        bins, stats_d = tokenize_compact(
             flat, width=W, ndigits_cap=C.MAX_RUN_DIGITS
         )
         stats = np.asarray(stats_d).astype(np.int64)
 
     counts = stats[:, :-1]  # (B, 858)
-    n_valid = counts.sum(axis=1)
     tables = [_build_tables(counts[b]) for b in range(B)]
     aob_np = np.stack([t[0] for t in tables]).astype(np.int32)
     code_np = np.stack([t[1] for t in tables])
     needed_bits = (counts * aob_np.astype(np.int64)).sum(axis=1)
 
-    M = int(sorted_bins.shape[1])
-    c_cap = min(
-        max(_bucket(int(-(-2 * n_valid.max() // N))) * ((N + 1) // 2), int(n_valid.max())),
-        M,
-    )
     needed_words = int(needed_bits.max()) // 32 + 2
     w_cap = max(
         _bucket(-(-needed_words * 8 // max(N, 8))) * (N // 8 + 1) + 2,
@@ -201,10 +222,9 @@ def encode_batch(imgs: np.ndarray) -> list[bytes]:
     )
 
     words_d, totals_d = pack_compact(
-        sorted_bins,
+        bins,
         jnp.asarray(aob_np),
         jnp.asarray(code_np),
-        c_cap=c_cap,
         w_cap=w_cap,
     )
     words = np.asarray(words_d)
