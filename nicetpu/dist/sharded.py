@@ -27,9 +27,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nicetpu.format import constants as C
 from nicetpu.format import headers
-from nicetpu.kernels import bitpack
 from nicetpu.kernels.scan import suffix_min
-from nicetpu.kernels.tokenize import assemble_slots, cascade, halo_pixels, histogram
+from nicetpu.kernels.tokenize import assemble_bins, cascade, halo_pixels, histogram_bins
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -41,7 +40,7 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 def _tokenize_block(img_block, *, width: int, rows_per: int, n_dev: int):
     """shard_map body: img_block (rows_per, W, 3) uint8 on each device.
 
-    Returns (streams, symbols, valid, counts_psum, local_first_change).
+    Returns (bins (n_local, S) with INVALID holes, counts_psum).
     """
     W = width
     n_local = rows_per * W
@@ -78,16 +77,22 @@ def _tokenize_block(img_block, *, width: int, rows_per: int, n_dev: int):
     )
     run_len = next_change - pos - 1
 
-    streams, symbols, valid = assemble_slots(cas, run_len)
-    counts = jax.lax.psum(histogram(streams, symbols, valid), "d")
-    return streams, symbols, valid, counts
-
-
-def _pack_block(streams, symbols, valid, aob_lut, code_lut, *, levels: int):
-    """shard_map body: per-device local bit-pack of its own token range."""
-    words, total_bits = bitpack.tokens_to_code_bits(
-        streams, symbols, valid, aob_lut, code_lut, levels=levels
+    bins, _ = assemble_bins(
+        cas, run_len, ndigits_cap=C.MAX_RUN_DIGITS, invalid_bin=C.TOTAL_SYMBOLS
     )
+    counts = jax.lax.psum(histogram_bins(bins), "d")
+    return bins.reshape(-1), counts
+
+
+def _pack_block(bins, aob_lut, code_lut, *, w_cap: int):
+    """shard_map body: per-device local bit-pack of its own token range."""
+    from nicetpu.kernels.encode2 import _place
+
+    live = bins < C.TOTAL_SYMBOLS
+    bi = jnp.clip(bins, 0, C.TOTAL_SYMBOLS - 1)
+    aob = jnp.where(live, aob_lut[bi], 0)
+    code = jnp.where(live, code_lut[bi], jnp.uint32(0))
+    words, total_bits = _place(aob, code, w_cap=w_cap)
     return words, total_bits.reshape(1)
 
 
@@ -99,22 +104,25 @@ def build_sharded_encode(mesh: Mesh, height: int, width: int):
         raise ValueError(f"height {height} not divisible by {n_dev} devices")
     rows_per = height // n_dev
     n_local = rows_per * width
-    levels = max(1, (n_local * C.TOKEN_SLOTS - 1).bit_length())
+    # Local payload can't exceed ~62 bits/pixel even in adversarial streams
+    # (5 tokens + digits, lengths <= 31 amortized against run structure);
+    # stitch_payload asserts the actual totals fit.
+    w_cap = 2 * n_local + 64
 
     tok = jax.jit(
         jax.shard_map(
             partial(_tokenize_block, width=width, rows_per=rows_per, n_dev=n_dev),
             mesh=mesh,
             in_specs=P("d", None, None),
-            out_specs=(P("d", None), P("d", None), P("d", None), P()),
+            out_specs=(P("d"), P()),
             check_vma=False,
         )
     )
     pack = jax.jit(
         jax.shard_map(
-            partial(_pack_block, levels=levels),
+            partial(_pack_block, w_cap=w_cap),
             mesh=mesh,
-            in_specs=(P("d", None), P("d", None), P("d", None), P(), P()),
+            in_specs=(P("d"), P(), P()),
             out_specs=(P("d"), P("d")),
             check_vma=False,
         )
@@ -128,6 +136,11 @@ def stitch_payload(
     """Host-side ordered gather: concatenate per-shard bitstreams at their
     global bit offsets (exclusive scan of shard totals)."""
     words_per = shard_words.shape[0] // n_dev
+    if int(shard_bits.max()) > 32 * words_per:
+        raise ValueError(
+            "shard payload exceeded its word capacity; re-run with a larger "
+            "w_cap (pathological bits/pixel)"
+        )
     total_bits = int(shard_bits.sum())
     out = np.zeros((total_bits + 31) // 32 + 2, dtype=np.uint64)
     base = 0
@@ -158,7 +171,7 @@ def encode_sharded(img: np.ndarray, mesh: Mesh) -> bytes:
 
     sharding = NamedSharding(mesh, P("d", None, None))
     dev_img = jax.device_put(img, sharding)
-    streams, symbols, valid, counts = tok(dev_img)
+    bins, counts = tok(dev_img)
 
     counts_np = np.asarray(counts).astype(np.int64)
     flat_lengths, flat_codes = _build_tables(counts_np)
@@ -167,7 +180,7 @@ def encode_sharded(img: np.ndarray, mesh: Mesh) -> bytes:
     rep = NamedSharding(mesh, P())
     aob = jax.device_put(jnp.asarray(flat_lengths.astype(np.int32)), rep)
     codes = jax.device_put(jnp.asarray(flat_codes), rep)
-    words, bits = pack(streams, symbols, valid, aob, codes)
+    words, bits = pack(bins, aob, codes)
 
     payload, total_bits = stitch_payload(
         np.asarray(words), np.asarray(bits), n_dev

@@ -31,7 +31,7 @@ from nicetpu.format import constants as C
 from nicetpu.format import headers
 from nicetpu.kernels.bitpack import words_to_payload
 from nicetpu.kernels.scan import suffix_min
-from nicetpu.kernels.tokenize import assemble_slots, cascade
+from nicetpu.kernels.tokenize import assemble_bins, cascade
 
 
 def _use_pallas() -> bool:
@@ -43,8 +43,16 @@ def _use_pallas() -> bool:
 INVALID_BIN = 895  # = pallas_ops.BINS_PAD - 1; >= 858 means "no token"
 
 
-def _slot_arrays(img_flat, *, width: int, ndigits_cap: int):
-    """cascade + slot assembly, truncated to 5 + ndigits_cap slots."""
+def _tokenize_core(img_flat, *, width: int, ndigits_cap: int):
+    """(N, 3) -> (bins (M,), overflow): flat token bins in serial slot order
+    with INVALID_BIN holes for empty slots.
+
+    No compaction: slot order IS serial token order (SURVEY A.6), and holes
+    cost nothing downstream (aob 0 -> zero contribution at a repeated bit
+    offset).  A compaction sort was measured at ~14 ns/token on this TPU —
+    4x the entire rest of the pipeline — so the pipeline stays hole-ful.
+    Bins are built gather-free (assemble_bins folds stream bases in).
+    """
     N = img_flat.shape[0]
     x = img_flat.astype(jnp.int32)
     cas = cascade(x, jnp.int32(0), N, width=width, halo=0)
@@ -55,27 +63,10 @@ def _slot_arrays(img_flat, *, width: int, ndigits_cap: int):
     next_change = jnp.concatenate([sfx[1:], jnp.array([N], jnp.int32)])
     run_len = next_change - pos - 1
 
-    streams, symbols, valid = assemble_slots(cas, run_len)
-    S = 5 + ndigits_cap
-    overflow = jnp.any(valid[:, S:]) if S < C.TOKEN_SLOTS else jnp.bool_(False)
-    return streams[:, :S], symbols[:, :S], valid[:, :S], overflow
-
-
-def _tokenize_core(img_flat, *, width: int, ndigits_cap: int):
-    """(N, 3) -> (bins (M,), overflow): flat token bins in serial slot order
-    with INVALID_BIN holes for empty slots.
-
-    No compaction: slot order IS serial token order (SURVEY A.6), and holes
-    cost nothing downstream (aob 0 -> zero contribution at a repeated bit
-    offset).  A compaction sort was measured at ~14 ns/token on this TPU —
-    4x the entire rest of the pipeline — so the pipeline stays hole-ful.
-    """
-    streams, symbols, valid, overflow = _slot_arrays(
-        img_flat, width=width, ndigits_cap=ndigits_cap
+    bins, overflow = assemble_bins(
+        cas, run_len, ndigits_cap=ndigits_cap, invalid_bin=INVALID_BIN
     )
-    base = jnp.asarray(np.asarray(C.STREAM_BASE, dtype=np.int32))
-    bins = jnp.where(valid, base[streams] + symbols, INVALID_BIN).reshape(-1)
-    return bins, overflow
+    return bins.reshape(-1), overflow
 
 
 @partial(jax.jit, static_argnames=("width", "ndigits_cap"))

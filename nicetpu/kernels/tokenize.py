@@ -230,6 +230,97 @@ def assemble_slots(cas: dict, run_len: jnp.ndarray):
     return streams, symbols, valid
 
 
+def assemble_bins(cas: dict, run_len: jnp.ndarray, *, ndigits_cap: int, invalid_bin: int):
+    """Token slots directly as flat histogram bins (N, 5 + ndigits_cap).
+
+    Gather-free: stream-base offsets are compile-time constants folded into
+    the per-slot select chains (a per-slot `STREAM_BASE[streams]` gather
+    costs ~7 ns/slot on TPU — more than the whole cascade).
+    Invalid slots get `invalid_bin`.  Slot order == serial token order.
+    """
+    mode = cas["mode"]
+    n = mode.shape[0]
+    enc = cas["changed"]
+    br_idx = cas["br_idx"]
+    sd_code = cas["sd_code"]
+    l2_g, l2_r, l2_b = cas["l2"]
+    lu_idx, lu_g, lu_r, lu_b = cas["lu"]
+    res_r, res_g, res_b = cas["res"]
+
+    is_br = mode == C.PREFIX_BACK_REF
+    is_sd = mode == C.PREFIX_SMALL_DIFF
+    is_l2 = mode == C.PREFIX_COLOR_LUMA2
+    is_lu = mode == C.PREFIX_COLOR_LUMA
+
+    has_run = enc & (run_len > 0)
+    v = jnp.maximum(run_len - 1, 0)
+    ndigits = jnp.ones(n, dtype=jnp.int32)
+    for j in range(1, C.MAX_RUN_DIGITS):
+        ndigits = ndigits + (v >= (1 << (3 * j))).astype(jnp.int32)
+
+    B = C.STREAM_BASE
+    inv = jnp.full(n, invalid_bin, jnp.int32)
+
+    def gate(cond, val):
+        return jnp.where(cond, val, inv)
+
+    slots = []
+    # slot 0: prefix
+    slots.append(gate(enc, B[C.SC_PREFIXES] + mode))
+    # slot 1
+    s1 = jnp.where(
+        is_br,
+        B[C.SC_BACK_REF] + br_idx,
+        jnp.where(
+            is_sd,
+            B[C.SC_SMALL_DIFF] + sd_code,
+            jnp.where(
+                is_l2,
+                B[C.SC_LUMA_BASE_DIFF2] + ((l2_g + 32) & 255),
+                jnp.where(
+                    is_lu, B[C.SC_LUMA_BACK_REF] + lu_idx, B[C.SC_RGB] + res_r
+                ),
+            ),
+        ),
+    )
+    slots.append(gate(enc, s1))
+    # slot 2
+    s2 = jnp.where(
+        is_l2,
+        B[C.SC_LUMA_OTHER_DIFF2] + ((l2_r + 16) & 255),
+        jnp.where(
+            is_lu, B[C.SC_LUMA_BASE_DIFF] + ((lu_g + 32) & 255), B[C.SC_RGB] + res_g
+        ),
+    )
+    slots.append(gate(enc & ~(is_br | is_sd), s2))
+    # slot 3
+    s3 = jnp.where(
+        is_l2,
+        B[C.SC_LUMA_OTHER_DIFFB2] + ((l2_b + 16) & 255),
+        jnp.where(
+            is_lu, B[C.SC_LUMA_OTHER_DIFF] + ((lu_r + 16) & 255), B[C.SC_RGB] + res_b
+        ),
+    )
+    slots.append(gate(enc & ~(is_br | is_sd), s3))
+    # slot 4 (COLOR_LUMA only)
+    slots.append(gate(enc & is_lu, B[C.SC_LUMA_OTHER_DIFF] + ((lu_b + 16) & 255)))
+    # run digit slots
+    for j in range(ndigits_cap):
+        slots.append(
+            gate(
+                has_run & (j < ndigits),
+                B[C.SC_PREFIXES] + ((v >> (3 * j)) & 7) + C.PREFIX_RUN_BASE,
+            )
+        )
+    bins = jnp.stack(slots, axis=1)
+    overflow = (
+        jnp.any(has_run & (ndigits > ndigits_cap))
+        if ndigits_cap < C.MAX_RUN_DIGITS
+        else jnp.bool_(False)
+    )
+    return bins, overflow
+
+
 def histogram(streams, symbols, valid):
     base = jnp.asarray(np.asarray(C.STREAM_BASE, dtype=np.int32))
     bins = base[streams] + symbols
@@ -237,6 +328,17 @@ def histogram(streams, symbols, valid):
         jnp.zeros(C.TOTAL_SYMBOLS, dtype=jnp.int32)
         .at[bins.reshape(-1)]
         .add(valid.reshape(-1).astype(jnp.int32), mode="drop")
+    )
+
+
+def histogram_bins(bins: jnp.ndarray) -> jnp.ndarray:
+    """Histogram of flat bins with invalid entries >= TOTAL_SYMBOLS."""
+    flat = bins.reshape(-1)
+    live = flat < C.TOTAL_SYMBOLS
+    return (
+        jnp.zeros(C.TOTAL_SYMBOLS, dtype=jnp.int32)
+        .at[jnp.where(live, flat, 0)]
+        .add(live.astype(jnp.int32), mode="drop")
     )
 
 
