@@ -146,13 +146,83 @@ def _place(aob, code, *, w_cap: int):
     return words, total_bits
 
 
-@partial(jax.jit, static_argnames=("w_cap",))
-def pack_compact(bins, aob_tbl, code_tbl, *, w_cap: int):
+# Fold-placement tier: pixels with more packed bits than this go through the
+# slot-level scatter fallback (host-gated; needs > 2 record words + shift).
+FOLD_MAX_BITS = 64
+FOLD_SCATTER_WORDS = 3
+
+
+def _fold_place(aob2, code2, *, w_cap: int):
+    """Per-pixel record fold + 3-updates-per-pixel scatter (one image).
+
+    aob2/code2: (N, S) per-slot code lengths / codes.  Each pixel's <= S
+    tokens are folded into a left-aligned bit record with pure element-wise
+    select-masks (no gathers), then the record is funnel-shifted to its
+    global bit offset and scattered as FOLD_SCATTER_WORDS words.  This cuts
+    scatter updates from 2 per SLOT to 3 per PIXEL (~5x fewer; scatter costs
+    ~8 ns/update on TPU).  Pixels packing more than FOLD_MAX_BITS bits set
+    the overflow flag; the caller falls back to the slot-level path.
+
+    Returns (words (w_cap,) uint32, total_bits int32, overflow bool).
+    """
+    N, S = aob2.shape
+    R = (S * 31 + 31) // 32  # record words (worst case, exact fold)
+
+    rec = [jnp.zeros(N, jnp.uint32) for _ in range(R)]
+    cum = jnp.zeros(N, jnp.int32)
+    for s in range(S):
+        L = aob2[:, s]
+        cd = code2[:, s]
+        sw = cum >> 5
+        sb = cum & 31
+        fits = sb + L <= 32
+        k = jnp.where(fits, 0, sb + L - 32)
+        shift_hi = jnp.clip(jnp.where(fits, 32 - sb - L, k), 0, 31).astype(jnp.uint32)
+        hi = jnp.where(fits, cd << shift_hi, cd >> shift_hi)
+        mask_k = (jnp.uint32(1) << k.astype(jnp.uint32)) - jnp.uint32(1)
+        shift_lo = jnp.clip(32 - k, 0, 31).astype(jnp.uint32)
+        lo = jnp.where(fits, jnp.uint32(0), (cd & mask_k) << shift_lo)
+        for j in range(min(R, s + 2)):  # cum <= 31*s => sw <= s, lo at sw+1
+            rec[j] = (
+                rec[j]
+                | jnp.where(sw == j, hi, jnp.uint32(0))
+                | jnp.where(sw == j - 1, lo, jnp.uint32(0))
+            )
+        cum = cum + L
+
+    kbits = cum  # per-pixel record length
+    overflow = jnp.any(kbits > FOLD_MAX_BITS)
+
+    pad = (-N) % 512
+    kpad = jnp.pad(kbits, (0, pad))
+    incl = _cumsum_matmul(kpad)
+    total_bits = incl[-1]
+    offs = (incl - kpad)[:N]
+
+    w = (offs >> 5).astype(jnp.int32)
+    r = (offs & 31).astype(jnp.uint32)
+    r_nz = r > 0
+    sh = []
+    for j in range(FOLD_SCATTER_WORDS):
+        cur = rec[j] if j < R else jnp.zeros(N, jnp.uint32)
+        prev = rec[j - 1] if 0 < j <= R else jnp.zeros(N, jnp.uint32)
+        val = cur >> r
+        val = val | jnp.where(r_nz, prev << (jnp.uint32(32) - r), jnp.uint32(0))
+        sh.append(val)
+
+    words = jnp.zeros(w_cap, dtype=jnp.uint32)
+    for j in range(FOLD_SCATTER_WORDS):
+        words = words.at[w + j].add(sh[j], mode="drop")
+    return words, total_bits, overflow
+
+
+@partial(jax.jit, static_argnames=("w_cap", "slots", "mode"))
+def pack_compact(bins, aob_tbl, code_tbl, *, w_cap: int, slots: int, mode: str = "fold"):
     """Dispatch B (batched): join per-image tables, scan offsets, place.
 
-    bins (B, M) with INVALID_BIN holes; aob_tbl (B, 858) int32;
+    bins (B, N*slots) with INVALID_BIN holes; aob_tbl (B, 858) int32;
     code_tbl (B, 858) uint32.
-    Returns (words (B, w_cap) uint32, total_bits (B,) int32).
+    Returns (words (B, w_cap) uint32, total_bits (B,) int32, overflow (B,)).
     """
     if _use_pallas():
         from nicetpu.kernels.pallas_ops import table_join_pallas
@@ -168,7 +238,13 @@ def pack_compact(bins, aob_tbl, code_tbl, *, w_cap: int):
             )
 
         aob, code = jax.vmap(join1)(bins, aob_tbl, code_tbl)
-    return jax.vmap(partial(_place, w_cap=w_cap))(aob, code)
+    if mode == "fold":
+        B, M = aob.shape
+        aob2 = aob.reshape(B, M // slots, slots)
+        code2 = code.reshape(B, M // slots, slots)
+        return jax.vmap(partial(_fold_place, w_cap=w_cap))(aob2, code2)
+    words, totals = jax.vmap(partial(_place, w_cap=w_cap))(aob, code)
+    return words, totals, jnp.zeros(words.shape[0], jnp.bool_)
 
 
 def _bucket(n: int, buckets=(1, 2, 3, 4, 6, 8, 12, 16)) -> int:
@@ -211,13 +287,21 @@ def encode_batch(imgs: np.ndarray) -> list[bytes]:
         _bucket(-(-needed_words * 8 // max(N, 8))) * (N // 8 + 1) + 2,
         needed_words + 2,
     )
+    slots = bins.shape[1] // N
 
-    words_d, totals_d = pack_compact(
-        bins,
-        jnp.asarray(aob_np),
-        jnp.asarray(code_np),
-        w_cap=w_cap,
+    words_d, totals_d, ovf_d = pack_compact(
+        bins, jnp.asarray(aob_np), jnp.asarray(code_np), w_cap=w_cap, slots=slots
     )
+    if bool(np.asarray(ovf_d).any()):
+        # Rare: some pixel packs > FOLD_MAX_BITS bits; exact slot-level path.
+        words_d, totals_d, _ = pack_compact(
+            bins,
+            jnp.asarray(aob_np),
+            jnp.asarray(code_np),
+            w_cap=w_cap,
+            slots=slots,
+            mode="slots",
+        )
     words = np.asarray(words_d)
     totals = np.asarray(totals_d)
 
