@@ -40,7 +40,7 @@ def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-INVALID_BIN = 895  # = pallas_ops.BINS_PAD - 1; >= 858 means "no token"
+INVALID_BIN = 1023  # = pallas_ops.BINS_PAD - 1; >= 858 means "no token"
 
 
 def _tokenize_core(img_flat, *, width: int, ndigits_cap: int):

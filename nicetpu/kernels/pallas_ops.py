@@ -5,13 +5,26 @@ The measured cost model (see encode2.py) shows XLA's scatter/gather lower to
 kernels therefore express histogram and table lookups as one-hot compare
 matmuls entirely inside VMEM — the MXU/VPU become the random-access engine.
 
+Two-level factorization: a flat bin index b < 1024 splits as b = 128*hi + lo
+(hi < 8, lo < 128).  The one-hot over b factors into the outer product of a
+tiny (8,)-wide one-hot over hi and a (128,)-wide one-hot over lo, so building
+the indicators costs ~136 VPU lanes per token instead of ~1024, and the bin
+dimension contracts on the MXU:
+
+  histogram:  acc[hi, lo] += sum_t oh_hi[hi, t] * oh_lo[lo, t]   (one matmul)
+  join:       B[hc, t]     = sum_l T[hc, l] * oh_lo[l, t]        (one matmul)
+              val_c[t]     = sum_h oh_hi[h, t] * B[8c + h, t]    (VPU reduce)
+
+This replaced a single-level (896-wide) one-hot design and measured ~5-7x
+faster on TPU v5e (histogram 6.2 -> ~0.9 ms, join 5.5 -> ~1.2 ms at 2.1M
+tokens) — see ARCHITECTURE.md's cost model.
+
 Layout notes (Mosaic tiling rules):
   * token streams travel as natural (rows, 128) int32 tiles; each kernel
     invocation owns an (8, 128) block = 1024 tokens,
-  * the one-hot is built per 128-lane row by comparing a sublane iota
-    (BINS_PAD, 128) against the lane-broadcast row — no in-kernel relayouts,
-  * table entries are split into bytes (<= 255, exact in bf16); sums stay
-    within f32's 24-bit mantissa; code reassembly happens in int32.
+  * table entries are split into bytes (<= 255, exact in bf16); one-hot
+    products are 0/1 in bf16; sums accumulate in f32, staying far inside
+    f32's 24-bit exact-integer range; code reassembly happens in int32.
 
 All kernels take a leading batch dimension with per-image tables (Kodak-24 /
 streamed-corpus configs, BASELINE configs 2/4).
@@ -27,9 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nicetpu.format import constants as C
 
-# 858 real bins padded to a lane-aligned 896; bin 858+ = masked/invalid.
-BINS_PAD = 896
-BLOCK_TOKENS = 1024  # (8, 128) tile per kernel invocation
+# 858 real bins padded to 1024 = 8 * 128; bins >= 858 are masked/invalid.
+BINS_PAD = 1024
+HI = 8  # bins split as bin = 128 * hi + lo
+BLOCK_ROWS = 32  # sublane rows per kernel invocation
+BLOCK_TOKENS = BLOCK_ROWS * 128  # tokens per kernel invocation
 
 
 def _to_tiles(bins: jnp.ndarray) -> tuple[jnp.ndarray, int, int]:
@@ -42,6 +57,13 @@ def _to_tiles(bins: jnp.ndarray) -> tuple[jnp.ndarray, int, int]:
     return bins.reshape(B * rows, 128), m_pad, m_pad // BLOCK_TOKENS
 
 
+def _onehots(row_hi, row_lo, ids_hi, ids_lo):
+    """(1,128) hi/lo rows -> ((HI,128), (128,128)) bf16 one-hot indicators."""
+    oh_hi = (jnp.broadcast_to(row_hi, (HI, 128)) == ids_hi).astype(jnp.bfloat16)
+    oh_lo = (jnp.broadcast_to(row_lo, (128, 128)) == ids_lo).astype(jnp.bfloat16)
+    return oh_hi, oh_lo
+
+
 def _hist_kernel(bins_ref, out_ref):
     i = pl.program_id(1)
 
@@ -49,13 +71,25 @@ def _hist_kernel(bins_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    chunk = bins_ref[:]  # (8, 128) int32
-    ids = jax.lax.broadcasted_iota(jnp.int32, (BINS_PAD, 128), 0)
-    acc = jnp.zeros((BINS_PAD, 1), jnp.float32)
-    for r in range(8):
-        row = chunk[r : r + 1, :]  # (1, 128)
-        oh = (jnp.broadcast_to(row, (BINS_PAD, 128)) == ids).astype(jnp.float32)
-        acc = acc + jnp.sum(oh, axis=1, keepdims=True)
+    chunk = bins_ref[:]  # (BLOCK_ROWS, 128) int32
+    hi = chunk >> 7
+    lo = chunk & 127
+    ids_hi = jax.lax.broadcasted_iota(jnp.int32, (HI, 128), 0)
+    ids_lo = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    # Lane-concat the per-row one-hots so the whole block contracts in ONE
+    # (HI, T) x (128, T) matmul instead of BLOCK_ROWS tiny ones.
+    ohs = [
+        _onehots(hi[r : r + 1, :], lo[r : r + 1, :], ids_hi, ids_lo)
+        for r in range(BLOCK_ROWS)
+    ]
+    oh_hi = jnp.concatenate([p[0] for p in ohs], axis=1)  # (HI, T)
+    oh_lo = jnp.concatenate([p[1] for p in ohs], axis=1)  # (128, T)
+    acc = jax.lax.dot_general(
+        oh_hi,
+        oh_lo,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     out_ref[:] += acc.astype(jnp.int32)
 
 
@@ -70,40 +104,52 @@ def histogram_pallas(bins: jnp.ndarray) -> jnp.ndarray:
         grid=(B, blocks),
         in_specs=[
             pl.BlockSpec(
-                (8, 128),
-                lambda b, i, r=rows: (b * (r // 8) + i, 0),
+                (BLOCK_ROWS, 128),
+                lambda b, i, r=rows: (b * (r // BLOCK_ROWS) + i, 0),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec(
-            (BINS_PAD, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            (HI, 128), lambda b, i: (b, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B * BINS_PAD, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B * HI, 128), jnp.int32),
     )(tiles)
     return out.reshape(B, BINS_PAD)[:, : C.TOTAL_SYMBOLS]
 
 
 def _join_kernel(bins_ref, table_ref, aob_ref, code_ref):
-    chunk = bins_ref[:]  # (8, 128) int32
-    ids = jax.lax.broadcasted_iota(jnp.int32, (BINS_PAD, 128), 0)
-    table = table_ref[:]  # (BINS_PAD, 128) bf16: cols 0..4 = aob, code bytes
+    chunk = bins_ref[:]  # (BLOCK_ROWS, 128) int32
+    hi = chunk >> 7
+    lo = chunk & 127
+    ids_hi = jax.lax.broadcasted_iota(jnp.int32, (HI, 128), 0)
+    ids_lo = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    table = table_ref[:]  # (5*HI, 128) bf16: row 8c+h = byte c of bins h*128+..
+    ohs = [
+        _onehots(hi[r : r + 1, :], lo[r : r + 1, :], ids_hi, ids_lo)
+        for r in range(BLOCK_ROWS)
+    ]
+    oh_lo = jnp.concatenate([p[1] for p in ohs], axis=1)  # (128, T)
+    # Gather the lo dimension on the MXU once for the whole block:
+    # b5[8c+h, t] = byte c of bin (h, lo_t).
+    b5 = jax.lax.dot_general(
+        table,
+        oh_lo,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (5*HI, T)
     aob_rows = []
     code_rows = []
-    for r in range(8):
-        row = chunk[r : r + 1, :]
-        oh = (jnp.broadcast_to(row, (BINS_PAD, 128)) == ids).astype(jnp.bfloat16)
-        # (128 table cols, BINS_PAD) @ (BINS_PAD, 128 tokens) -> (128, 128)
-        vals = jax.lax.dot_general(
-            table,
-            oh,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        iv = vals.astype(jnp.int32)
-        aob_rows.append(iv[0:1, :])
-        code_rows.append(
-            (iv[1:2, :] << 24) | (iv[2:3, :] << 16) | (iv[3:4, :] << 8) | iv[4:5, :]
-        )
+    for r in range(BLOCK_ROWS):
+        oh_hi_f = ohs[r][0].astype(jnp.float32)  # (HI, 128)
+        b5r = b5[:, 128 * r : 128 * (r + 1)]
+        # select the hi dimension with the tiny oh_hi reduce
+        vals = [
+            jnp.sum(oh_hi_f * b5r[8 * c : 8 * (c + 1), :], axis=0, keepdims=True)
+            for c in range(5)
+        ]
+        iv = [v.astype(jnp.int32) for v in vals]
+        aob_rows.append(iv[0])
+        code_rows.append((iv[1] << 24) | (iv[2] << 16) | (iv[3] << 8) | iv[4])
     aob_ref[:] = jnp.concatenate(aob_rows, axis=0)
     code_ref[:] = jnp.concatenate(code_rows, axis=0)
 
@@ -118,15 +164,17 @@ def table_join_pallas(
     code_tbl (B, 858) uint32.  Returns aob (B, M) int32, code (B, M) uint32.
     """
     B, M = bins.shape
-    table = jnp.zeros((B, BINS_PAD, 128), jnp.bfloat16)
-    table = table.at[:, : C.TOTAL_SYMBOLS, 0].set(aob_tbl.astype(jnp.bfloat16))
+    # table layout (B, 5*HI, 128): row 8c+h holds byte c (c=0: aob; c=1..4:
+    # code bytes, big-endian) of bins [h*128, (h+1)*128).
+    flat = jnp.zeros((B, 5, BINS_PAD), jnp.bfloat16)
+    flat = flat.at[:, 0, : C.TOTAL_SYMBOLS].set(aob_tbl.astype(jnp.bfloat16))
     for byte in range(4):
-        table = table.at[:, : C.TOTAL_SYMBOLS, 1 + byte].set(
+        flat = flat.at[:, 1 + byte, : C.TOTAL_SYMBOLS].set(
             ((code_tbl >> jnp.uint32(8 * (3 - byte))) & jnp.uint32(0xFF)).astype(
                 jnp.bfloat16
             )
         )
-    table = table.reshape(B * BINS_PAD, 128)
+    table = flat.reshape(B * 5 * HI, 128)
 
     tiles, m_pad, blocks = _to_tiles(bins)
     rows = m_pad // 128
@@ -135,23 +183,23 @@ def table_join_pallas(
         grid=(B, blocks),
         in_specs=[
             pl.BlockSpec(
-                (8, 128),
-                lambda b, i, r=rows: (b * (r // 8) + i, 0),
+                (BLOCK_ROWS, 128),
+                lambda b, i, r=rows: (b * (r // BLOCK_ROWS) + i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (BINS_PAD, 128), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+                (5 * HI, 128), lambda b, i: (b, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (8, 128),
-                lambda b, i, r=rows: (b * (r // 8) + i, 0),
+                (BLOCK_ROWS, 128),
+                lambda b, i, r=rows: (b * (r // BLOCK_ROWS) + i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (8, 128),
-                lambda b, i, r=rows: (b * (r // 8) + i, 0),
+                (BLOCK_ROWS, 128),
+                lambda b, i, r=rows: (b * (r // BLOCK_ROWS) + i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
