@@ -48,51 +48,37 @@ def _huffman_lengths_once(counts: np.ndarray) -> np.ndarray:
     return lengths
 
 
-def _package_merge(counts: np.ndarray, limit: int) -> np.ndarray:
-    """Optimal length-limited code lengths (package-merge), max length <= limit.
+def clamp_floor(total: int) -> int:
+    """Minimum weight enforced by the length-limiting clamp: >= total/2^20.
 
-    Zero weights are handled by the scaled weights w_i = c_i*K + 1 with
-    K > n*limit, which minimizes sum(c_i*l_i) first and sum(l_i) second.
-    Deterministic: coins sorted by (weight, symbol); merges are stable with
-    original items before packages on ties (the C++ oracle matches this).
+    Clamping every count (including zeros) to this floor bounds the Huffman
+    depth by the Fibonacci weight bound: w_min/total' >= 1/(2^20 * 1.001)
+    > 1/F(33), so the re-merged depth is <= 31 with margin.  Shared verbatim
+    by the C++ oracle and the on-device builder (kernels/huffman_dev.py).
     """
-    n = int(counts.shape[0])
-    if (1 << limit) < n:
-        raise ValueError("limit too small for alphabet")
-    K = n * limit + 1
-    weights = [int(c) * K + 1 for c in counts]
-    order = sorted(range(n), key=lambda i: (weights[i], i))
-    base = [(weights[i], (i,)) for i in order]
-    prev = base
-    for _ in range(limit - 1):
-        packages = [
-            (prev[2 * k][0] + prev[2 * k + 1][0], prev[2 * k][1] + prev[2 * k + 1][1])
-            for k in range(len(prev) // 2)
-        ]
-        prev = list(heapq.merge(base, packages, key=lambda t: t[0]))
-    lengths = np.zeros(n, dtype=np.int64)
-    for _, syms in prev[: 2 * n - 2]:
-        for s in syms:
-            lengths[s] += 1
-    return lengths
+    return (int(total) >> 20) + 1
 
 
 def code_lengths(counts: np.ndarray) -> np.ndarray:
     """Optimal Huffman code lengths (>= 1 bit) for a full alphabet.
 
     counts: (n,) nonnegative ints, n >= 2.  Returns (n,) uint8 lengths.
-    Deterministic (the C++ oracle implements the same tie-break).  When the
-    unrestricted optimum exceeds the 31-bit limit of the 5-bit max_aob header
-    field (possible with many zero-count symbols — the reference would
-    silently corrupt there, ref hfe.rs:98), we fall back to optimal
-    length-limited package-merge at 31 bits.
+    Deterministic (the C++ oracle and the on-device builder implement the
+    same tie-break).  When the unrestricted optimum exceeds the 31-bit limit
+    of the 5-bit max_aob header field (the reference would silently corrupt
+    there, ref hfe.rs:98), all counts are clamped up to `clamp_floor(total)`
+    and the merge re-run — a deterministic, device-expressible limiter that
+    only activates exactly where the reference format breaks down.
     """
     counts = np.asarray(counts, dtype=np.int64)
     if counts.shape[0] < 2:
         raise ValueError("alphabet must have >= 2 symbols")
     lengths = _huffman_lengths_once(counts)
     if int(lengths.max()) > C.MAX_CODE_LEN:
-        lengths = _package_merge(counts, C.MAX_CODE_LEN)
+        lengths = _huffman_lengths_once(
+            np.maximum(counts, clamp_floor(counts.sum()))
+        )
+        assert int(lengths.max()) <= C.MAX_CODE_LEN
     return lengths.astype(np.uint8)
 
 

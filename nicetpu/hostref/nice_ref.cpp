@@ -80,58 +80,24 @@ void huffman_lengths_once(const uint64_t* counts, int n, uint8_t* out) {
   for (int i = 0; i < n; i++) out[i] = static_cast<uint8_t>(lengths[i]);
 }
 
-// Package-merge fallback (optimal length-limited; mirrors Python exactly:
-// base coins sorted by (weight, symbol); stable merge, base before packages).
-void package_merge(const uint64_t* counts, int n, int limit, uint8_t* out) {
-  struct Coin {
-    unsigned __int128 weight;
-    std::vector<uint16_t> syms;
-  };
-  const unsigned __int128 K = static_cast<unsigned>(n) * limit + 1;
-  std::vector<int> order(n);
-  for (int i = 0; i < n; i++) order[i] = i;
-  std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
-    if (counts[a] != counts[b]) return counts[a] < counts[b];
-    return a < b;
-  });
-  std::vector<Coin> base(n);
-  for (int i = 0; i < n; i++) {
-    base[i].weight = static_cast<unsigned __int128>(counts[order[i]]) * K + 1;
-    base[i].syms = {static_cast<uint16_t>(order[i])};
-  }
-  std::vector<Coin> prev = base;
-  for (int level = 0; level < limit - 1; level++) {
-    std::vector<Coin> packages;
-    for (size_t k = 0; k + 1 < prev.size(); k += 2) {
-      Coin c;
-      c.weight = prev[k].weight + prev[k + 1].weight;
-      c.syms = prev[k].syms;
-      c.syms.insert(c.syms.end(), prev[k + 1].syms.begin(), prev[k + 1].syms.end());
-      packages.push_back(std::move(c));
-    }
-    std::vector<Coin> merged;
-    merged.reserve(base.size() + packages.size());
-    size_t i = 0, j = 0;  // stable: base elements first on weight ties
-    while (i < base.size() && j < packages.size()) {
-      if (base[i].weight <= packages[j].weight) merged.push_back(base[i++]);
-      else merged.push_back(std::move(packages[j++]));
-    }
-    while (i < base.size()) merged.push_back(base[i++]);
-    while (j < packages.size()) merged.push_back(std::move(packages[j++]));
-    prev = std::move(merged);
-  }
-  std::vector<int> lengths(n, 0);
-  size_t take = static_cast<size_t>(2 * n - 2);
-  for (size_t c = 0; c < take && c < prev.size(); c++)
-    for (uint16_t s : prev[c].syms) lengths[s]++;
-  for (int i = 0; i < n; i++) out[i] = static_cast<uint8_t>(lengths[i]);
-}
+// Length-limiting clamp (mirrors format/huffman.py exactly): when the raw
+// merge exceeds MAX_CODE_LEN, clamp every count (including zeros) up to
+// total/2^20 + 1 and re-merge.  Removing zero weights makes the Fibonacci
+// depth bound apply: w_min/total' > 1/F(33), so depth <= 31 with margin.
+static uint64_t clamp_floor(uint64_t total) { return (total >> 20) + 1; }
 
 void code_lengths(const uint64_t* counts, int n, uint8_t* out) {
   huffman_lengths_once(counts, n, out);
   int maxlen = 0;
   for (int i = 0; i < n; i++) maxlen = std::max(maxlen, static_cast<int>(out[i]));
-  if (maxlen > MAX_CODE_LEN) package_merge(counts, n, MAX_CODE_LEN, out);
+  if (maxlen > MAX_CODE_LEN) {
+    uint64_t total = 0;
+    for (int i = 0; i < n; i++) total += counts[i];
+    const uint64_t floor_w = clamp_floor(total);
+    std::vector<uint64_t> clamped(n);
+    for (int i = 0; i < n; i++) clamped[i] = std::max(counts[i], floor_w);
+    huffman_lengths_once(clamped.data(), n, out);
+  }
 }
 
 // Canonical codes: (length asc, symbol asc), counting up (SURVEY §2.3.2).

@@ -146,27 +146,29 @@ def _place(aob, code, *, w_cap: int):
     return words, total_bits
 
 
-# Fold-placement tier: pixels with more packed bits than this go through the
-# slot-level scatter fallback (host-gated; needs > 2 record words + shift).
-FOLD_MAX_BITS = 64
+# Fold-placement tier: pixels with more packed bits than
+# 32*(scatter_words-1) go through a wider fold or the slot-level fallback.
 FOLD_SCATTER_WORDS = 3
+FOLD_MAX_BITS = 32 * (FOLD_SCATTER_WORDS - 1)
 
 
-def _fold_place(aob2, code2, *, w_cap: int):
-    """Per-pixel record fold + 3-updates-per-pixel scatter (one image).
+def _fold_place(aob2, code2, *, w_cap: int, scatter_words: int = FOLD_SCATTER_WORDS):
+    """Per-pixel record fold + scatter_words-updates-per-pixel scatter.
 
     aob2/code2: (N, S) per-slot code lengths / codes.  Each pixel's <= S
     tokens are folded into a left-aligned bit record with pure element-wise
     select-masks (no gathers), then the record is funnel-shifted to its
-    global bit offset and scattered as FOLD_SCATTER_WORDS words.  This cuts
-    scatter updates from 2 per SLOT to 3 per PIXEL (~5x fewer; scatter costs
-    ~8 ns/update on TPU).  Pixels packing more than FOLD_MAX_BITS bits set
-    the overflow flag; the caller falls back to the slot-level path.
+    global bit offset and scattered as scatter_words words.  This cuts
+    scatter updates from 2 per SLOT to scatter_words per PIXEL (~4-5x fewer;
+    scatter costs ~8 ns/update on TPU).  Pixels packing more than
+    32*(scatter_words-1) bits set the overflow flag; the caller falls back
+    to a wider fold or the slot-level path.
 
     Returns (words (w_cap,) uint32, total_bits int32, overflow bool).
     """
     N, S = aob2.shape
     R = (S * 31 + 31) // 32  # record words (worst case, exact fold)
+    max_bits = 32 * (scatter_words - 1)
 
     rec = [jnp.zeros(N, jnp.uint32) for _ in range(R)]
     cum = jnp.zeros(N, jnp.int32)
@@ -191,7 +193,7 @@ def _fold_place(aob2, code2, *, w_cap: int):
         cum = cum + L
 
     kbits = cum  # per-pixel record length
-    overflow = jnp.any(kbits > FOLD_MAX_BITS)
+    overflow = jnp.any(kbits > max_bits)
 
     pad = (-N) % 512
     kpad = jnp.pad(kbits, (0, pad))
@@ -203,7 +205,7 @@ def _fold_place(aob2, code2, *, w_cap: int):
     r = (offs & 31).astype(jnp.uint32)
     r_nz = r > 0
     sh = []
-    for j in range(FOLD_SCATTER_WORDS):
+    for j in range(scatter_words):
         cur = rec[j] if j < R else jnp.zeros(N, jnp.uint32)
         prev = rec[j - 1] if 0 < j <= R else jnp.zeros(N, jnp.uint32)
         val = cur >> r
@@ -211,7 +213,7 @@ def _fold_place(aob2, code2, *, w_cap: int):
         sh.append(val)
 
     words = jnp.zeros(w_cap, dtype=jnp.uint32)
-    for j in range(FOLD_SCATTER_WORDS):
+    for j in range(scatter_words):
         words = words.at[w + j].add(sh[j], mode="drop")
     return words, total_bits, overflow
 
@@ -315,6 +317,75 @@ def encode_batch(imgs: np.ndarray) -> list[bytes]:
             + words_to_payload(words[b], total_bits)
         )
     return out
+
+
+@partial(jax.jit, static_argnames=("width", "ndigits_cap", "w_cap"))
+def encode_fused(imgs_flat, *, width: int, ndigits_cap: int, w_cap: int):
+    """Whole encode as ONE device dispatch: tokenize + histogram + on-device
+    Huffman tables (kernels/huffman_dev.py) + join + fold + place.
+
+    No host round-trip between histogram and packing — on the tunnel-attached
+    TPU each host sync costs ~24 ms, which dominated single-image latency in
+    the two-dispatch pipeline.
+
+    imgs_flat: (B, N, 3) uint8.  Returns (words (B, w_cap) uint32,
+    small (B, 860) int32) where small = per-image [flat code lengths (858),
+    total payload bits, overflow flag].  When the overflow flag is set (run
+    needs > ndigits_cap digits, a pixel packs > FOLD_MAX_BITS bits, or a
+    Huffman length exceeds 31 bits) the caller must fall back to an exact
+    host path; the fused outputs for that image are not usable.
+    """
+    from nicetpu.kernels.huffman_dev import build_tables_device
+
+    core = partial(_tokenize_core, width=width, ndigits_cap=ndigits_cap)
+    bins, run_ovf = jax.vmap(core)(imgs_flat)
+    if _use_pallas():
+        from nicetpu.kernels.pallas_ops import histogram_pallas
+
+        counts = histogram_pallas(bins)
+    else:
+
+        def hist1(b):
+            live = b < C.TOTAL_SYMBOLS
+            return (
+                jnp.zeros(C.TOTAL_SYMBOLS, dtype=jnp.int32)
+                .at[jnp.where(live, b, 0)]
+                .add(live.astype(jnp.int32), mode="drop")
+            )
+
+        counts = jax.vmap(hist1)(bins)
+
+    lengths, codes, len_ovf = build_tables_device(counts)
+
+    if _use_pallas():
+        from nicetpu.kernels.pallas_ops import table_join_pallas
+
+        aob, code = table_join_pallas(bins, lengths, codes)
+    else:
+
+        def join1(b, at, ct):
+            live = b < C.TOTAL_SYMBOLS
+            bi = jnp.clip(b, 0, C.TOTAL_SYMBOLS - 1)
+            return jnp.where(live, at[bi], 0), jnp.where(live, ct[bi], jnp.uint32(0))
+
+        aob, code = jax.vmap(join1)(bins, lengths, codes)
+
+    B, M = aob.shape
+    slots = M // imgs_flat.shape[1]
+    aob2 = aob.reshape(B, M // slots, slots)
+    code2 = code.reshape(B, M // slots, slots)
+    # 4 scatter words -> 96-bit pixel records: covers RGB-mode pixels whose
+    # three residual codes are long (prefix + 3x31 bits can exceed 64).
+    words, totals, fold_ovf = jax.vmap(
+        partial(_fold_place, w_cap=w_cap, scatter_words=4)
+    )(aob2, code2)
+
+    cap_ovf = totals > jnp.int32(32 * (w_cap - 2))
+    ovf = run_ovf | len_ovf | fold_ovf | cap_ovf
+    small = jnp.concatenate(
+        [lengths, totals[:, None], ovf.astype(jnp.int32)[:, None]], axis=1
+    )
+    return words, small
 
 
 def encode_jax_v2(img: np.ndarray) -> bytes:

@@ -126,22 +126,44 @@ class TestHeaders:
         assert np.array_equal(headers.parse_stream_headers(packed), flat)
 
 
-class TestPackageMerge:
-    def test_vs_bruteforce(self):
+class TestLengthLimitClamp:
+    """The 31-bit limiter: clamp all counts to clamp_floor(total), re-merge.
+
+    Activates exactly where the reference format corrupts (raw depth > 31
+    can't be written to the 5-bit max_aob field, ref hfe.rs:98 / SURVEY
+    §2.3.4); shared verbatim by Python, the C++ oracle, and the on-device
+    builder."""
+
+    def _pathological(self, rng):
+        n = int(rng.choice([64, 256, 343]))
+        counts = np.zeros(n, dtype=np.int64)
+        fib = [1, 1]
+        while len(fib) < 40:
+            fib.append(fib[-1] + fib[-2])
+        k = min(n - 4, 40)
+        counts[rng.permutation(n)[:k]] = fib[:k]
+        return counts
+
+    def test_limit_kraft_and_validity(self):
         rng = np.random.default_rng(9)
-        for _ in range(15):
-            n = int(rng.integers(2, 6))
-            limit = int(rng.integers(2, 5))
-            if (1 << limit) < n:
-                continue
-            counts = rng.integers(0, 6, n)
-            pm = huffman._package_merge(counts, limit)
-            assert abs(kraft(pm) - 1.0) < 1e-12
-            assert int(pm.max()) <= limit
-            best = None
-            for cand in itertools.product(range(1, limit + 1), repeat=n):
-                if abs(kraft(cand) - 1.0) > 1e-12:
-                    continue
-                tot = int(sum(c * l for c, l in zip(counts, cand)))
-                best = tot if best is None else min(best, tot)
-            assert int((counts * pm).sum()) == best
+        for _ in range(10):
+            counts = self._pathological(rng)
+            raw = huffman._huffman_lengths_once(counts)
+            lens = huffman.code_lengths(counts)
+            assert int(lens.max()) <= C.MAX_CODE_LEN
+            assert abs(kraft(lens) - 1.0) < 1e-12
+            if int(raw.max()) <= C.MAX_CODE_LEN:
+                assert np.array_equal(lens, raw.astype(np.uint8))
+
+    def test_matches_native(self):
+        oracle = pytest.importorskip("nicetpu.hostref.oracle")
+        try:
+            oracle.get_lib()
+        except Exception:
+            pytest.skip("no toolchain")
+        rng = np.random.default_rng(10)
+        for _ in range(10):
+            counts = self._pathological(rng)
+            assert np.array_equal(
+                huffman.code_lengths(counts), oracle.code_lengths_native(counts)
+            )
