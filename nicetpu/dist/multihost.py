@@ -5,14 +5,14 @@ mesh over every process's devices.  The row-block sharded pipeline of
 `dist/sharded.py` runs unchanged — XLA lowers the halo `ppermute` and the
 histogram `psum` over ICI within a slice and DCN across hosts.
 
-Ordered gather: every process holds its shards' packed words; the final
+Ordered gather: every process holds only its shards' packed words; the final
 bitstream needs them concatenated in global shard order at bit granularity.
-We all-gather the per-shard bit totals (tiny), compute exclusive offsets,
-and `process_allgather` the payload words to host 0 which stitches them
-(SURVEY §2.2 "ordered gather"; avoids any device-side reshuffling).
+We reshard (words, bits) to a replicated layout with one jitted identity
+(XLA inserts the all_gather over ICI/DCN), read the now fully-addressable
+arrays on process 0, and stitch them there (SURVEY §2.2 "ordered gather").
 
-On a single process this degrades to exactly the single-host path, which is
-how it is tested here; multi-host execution requires a real pod slice.
+Tested with 2 local CPU processes in tests/test_multihost.py (SURVEY §4's
+multi-host-simulation plan); on a real pod slice the same code runs over DCN.
 """
 
 from __future__ import annotations
@@ -37,58 +37,33 @@ def initialize_distributed(
     )
 
 
-def encode_multihost(img_local_or_full: np.ndarray, mesh=None) -> bytes | None:
+def _fetch_replicated(x, mesh) -> np.ndarray:
+    """Read a (possibly cross-process sharded) array on every process.
+
+    Single-process arrays are fully addressable already; multi-process
+    arrays are resharded to replicated first (one all_gather under jit).
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    return np.asarray(jax.jit(lambda a: a, out_shardings=rep)(x))
+
+
+def encode_multihost(img: np.ndarray, mesh=None) -> bytes | None:
     """Encode a raster across all hosts; returns bytes on process 0, None
     elsewhere.
 
-    Single-process: behaves exactly like dist.sharded.encode_sharded.
-    Multi-process: each process passes the full raster (or a loader shards
-    it); jax.device_put with the mesh sharding places only the local rows.
+    Every process passes the SAME full raster (or a loader provides it);
+    jax.device_put with the mesh sharding places only the local row blocks
+    on each process's devices.  Single-process this is exactly
+    dist.sharded.encode_sharded.
     """
     from nicetpu.dist.sharded import encode_sharded, make_mesh
 
-    if jax.process_count() == 1:
-        mesh = mesh or make_mesh()
-        return encode_sharded(img_local_or_full, mesh)
-
-    # Multi-host: same sharded pipeline over the global mesh; the final
-    # stitch happens on process 0 via an allgather of (words, bits).
-    from jax.experimental import multihost_utils
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from nicetpu.dist.sharded import build_sharded_encode, stitch_payload
-    from nicetpu.format import headers
-    from nicetpu.kernels.encode import _build_tables
-
-    img = img_local_or_full
-    H, W, _ = img.shape
     mesh = mesh or make_mesh()
-    n_dev = mesh.devices.size
-    tok, pack = build_sharded_encode(mesh, H, W)
-    dev_img = jax.device_put(img, NamedSharding(mesh, P("d", None, None)))
-    streams, symbols, valid, counts = tok(dev_img)
-
-    counts_np = np.asarray(counts).astype(np.int64)  # replicated => identical
-    flat_lengths, flat_codes = _build_tables(counts_np)
-
-    import jax.numpy as jnp
-
-    rep = NamedSharding(mesh, P())
-    aob = jax.device_put(jnp.asarray(flat_lengths.astype(np.int32)), rep)
-    codes = jax.device_put(jnp.asarray(flat_codes), rep)
-    words, bits = pack(streams, symbols, valid, aob, codes)
-
-    # Host-0 ordered gather of the variable-length payloads.
-    words_all = multihost_utils.process_allgather(words, tiled=True)
-    bits_all = multihost_utils.process_allgather(bits, tiled=True)
-    if jax.process_index() != 0:
-        return None
-    payload, total_bits = stitch_payload(np.asarray(words_all), np.asarray(bits_all), n_dev)
-    n_bytes = total_bits // 8
-    B = payload[n_bytes] if total_bits % 8 else 0
-    return (
-        headers.pack_file_header(W, H, 3)
-        + headers.pack_stream_headers(flat_lengths)
-        + payload[:n_bytes]
-        + bytes([B, B, 0, 0, 0])
-    )
+    if jax.process_count() == 1:
+        return encode_sharded(img, mesh)
+    data = encode_sharded(img, mesh, fetch=lambda x: _fetch_replicated(x, mesh))
+    return data if jax.process_index() == 0 else None

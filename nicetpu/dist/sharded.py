@@ -161,8 +161,13 @@ def stitch_payload(
     return out.astype(np.uint32).astype(">u4").tobytes(), total_bits
 
 
-def encode_sharded(img: np.ndarray, mesh: Mesh) -> bytes:
-    """Full sharded encode of an (H, W, 3) uint8 image over the mesh."""
+def encode_sharded(img: np.ndarray, mesh: Mesh, fetch=np.asarray) -> bytes:
+    """Full sharded encode of an (H, W, 3) uint8 image over the mesh.
+
+    `fetch` reads a device array back to host numpy — the default works for
+    fully-addressable (single-process) arrays; dist.multihost passes a
+    replicating fetch for cross-process meshes.
+    """
     from nicetpu.kernels.encode import _build_tables
 
     H, W, _ = img.shape
@@ -182,9 +187,7 @@ def encode_sharded(img: np.ndarray, mesh: Mesh) -> bytes:
     codes = jax.device_put(jnp.asarray(flat_codes), rep)
     words, bits = pack(bins, aob, codes)
 
-    payload, total_bits = stitch_payload(
-        np.asarray(words), np.asarray(bits), n_dev
-    )
+    payload, total_bits = stitch_payload(fetch(words), fetch(bits), n_dev)
     assert total_bits == needed_bits, (total_bits, needed_bits)
 
     n_bytes = total_bits // 8

@@ -1,0 +1,51 @@
+"""Worker for the 2-process jax.distributed multihost test.
+
+Usage: python tests/_mh_worker.py <coordinator> <num_procs> <pid> <out_file>
+Launched by tests/test_multihost.py with PALLAS_AXON_POOL_IPS cleared and
+JAX_PLATFORMS=cpu so each process exposes 4 virtual CPU devices (8 global).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def make_image() -> np.ndarray:
+    rng = np.random.default_rng(7)
+    img = (rng.integers(0, 5, (64, 32, 1)) * 47 + rng.integers(0, 4, (64, 32, 3))).astype(
+        np.uint8
+    )
+    img[20:29] = img[19, -1]  # run crossing process boundaries
+    return img
+
+
+def main() -> int:
+    coordinator, n_procs, pid, out_file = (
+        sys.argv[1],
+        int(sys.argv[2]),
+        int(sys.argv[3]),
+        sys.argv[4],
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from nicetpu.dist.multihost import encode_multihost, initialize_distributed
+
+    initialize_distributed(coordinator, n_procs, pid)
+    assert jax.process_count() == n_procs, jax.process_count()
+    assert len(jax.devices()) == 4 * n_procs, jax.devices()
+
+    data = encode_multihost(make_image())
+    if pid == 0:
+        assert data is not None
+        with open(out_file, "wb") as f:
+            f.write(data)
+    else:
+        assert data is None
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -91,10 +91,6 @@ class TestMergePack:
 
 class TestSharded:
     def test_sharded_encode_matches_spec(self):
-        import jax
-
-        if len(jax.devices()) < 8:
-            pytest.skip("needs 8 virtual devices")
         from nicetpu.dist.sharded import encode_sharded, make_mesh
 
         mesh = make_mesh(8)
@@ -123,10 +119,6 @@ class TestGraftEntry:
         assert int(np.asarray(counts).sum()) == int(nvalid)
 
     def test_dryrun_multichip(self):
-        import jax
-
-        if len(jax.devices()) < 8:
-            pytest.skip("needs 8 virtual devices")
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
