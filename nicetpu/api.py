@@ -54,9 +54,16 @@ def encode(img: np.ndarray, backend: str = "auto") -> bytes:
 def decode(data: bytes, backend: str = "auto") -> np.ndarray:
     """Decode `.nice` bytes to an (H, W, 3) uint8 array.
 
-    backend: "auto" | "native" | "spec".  The native C++ decoder is the fast
-    path (entropy decode is inherently serial, SURVEY §7.3.5).
+    backend: "auto" | "jax" | "native" | "spec".  "jax" is the TPU-native
+    decoder (chunked self-synchronizing entropy decode + segment-LUT
+    reconstruction, kernels/decode_dev.py); "native" is the serial C++
+    decoder.  "auto" prefers native for single images (lowest latency on one
+    small image); batch decode on device should use decode_batch.
     """
+    if backend == "jax":
+        from nicetpu.kernels.decode_dev import decode_jax
+
+        return decode_jax(data)
     if backend in ("auto", "native"):
         try:
             from nicetpu.hostref.oracle import decode_native

@@ -155,6 +155,45 @@ def canonical_decode_tables(
     return sorted_symbols, index_base, aligned_first
 
 
+def decode_dev_tables(
+    flat_lengths: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-stream canonical-decode tables in the device layout.
+
+    Returns (af, present, ib, sorted_flat):
+      af (NUM_STREAMS, 32) uint32: first code of each length, left-aligned to
+        32 bits (0xFFFFFFFF where the length is absent — callers must ALSO
+        check `present`, since a 32-one-bits window equals the sentinel);
+      present (NUM_STREAMS, 32) bool;
+      ib (NUM_STREAMS, 32) int32: index into the stream's (length asc,
+        symbol asc) order of the first length-l symbol;
+      sorted_flat (NUM_STREAMS, 343) int32: symbols in canonical order,
+        zero-padded per stream (row s, col i = i-th canonical symbol).
+
+    Decode (matches StreamDecoder.read / ref hfe.rs:206-222 for any depth):
+      L = max{l : present[s,l] and af[s,l] <= win32}
+      sym = sorted_flat[s, ib[s,L] + ((win32 - af[s,L]) >> (32-L))]
+    """
+    flat_lengths = np.asarray(flat_lengths, dtype=np.int64)
+    af = np.full((C.NUM_STREAMS, 32), 0xFFFFFFFF, dtype=np.uint32)
+    present = np.zeros((C.NUM_STREAMS, 32), dtype=bool)
+    ib = np.zeros((C.NUM_STREAMS, 32), dtype=np.int32)
+    sorted_flat = np.zeros((C.NUM_STREAMS, max(C.ALPHABET_SIZES)), dtype=np.int32)
+    for s in range(C.NUM_STREAMS):
+        base, size = C.STREAM_BASE[s], C.ALPHABET_SIZES[s]
+        lengths = flat_lengths[base : base + size]
+        codes = canonical_codes(lengths)
+        order = np.lexsort((np.arange(size), lengths))
+        sorted_flat[s, :size] = order
+        for idx, sym in enumerate(order):
+            ln = int(lengths[sym])
+            if not present[s, ln]:
+                present[s, ln] = True
+                ib[s, ln] = idx
+                af[s, ln] = np.uint32(int(codes[sym]) << (32 - ln))
+    return af, present, ib, sorted_flat
+
+
 def build_all_tables(
     flat_counts: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray, list[int]]:

@@ -383,7 +383,13 @@ def decode(data: bytes) -> np.ndarray:
             bb = (rd(C.SC_LUMA_OTHER_DIFF) - 16 + g + ref[2]) & 255
             out[pos] = (rr, gg, bb)
         elif prefix == C.PREFIX_BACK_REF:
-            out[pos] = out[pos - br_offsets[rd(C.SC_BACK_REF)]]
+            # Stream 9's alphabet is 11 symbols but the offset table has only
+            # 5 entries (SURVEY A.3 row 9); indices 5..10 can only appear in
+            # corrupt streams (the reference would panic, ref code.rs:634).
+            idx = rd(C.SC_BACK_REF)
+            if idx >= C.NUM_BACK_REF:
+                raise ValueError(f"corrupt stream: back-ref index {idx} at pixel {pos}")
+            out[pos] = out[pos - br_offsets[idx]]
         elif prefix == C.PREFIX_RGB:
             ref = out[prev] if pos < W else out[pos - W]
             pred = (ref + out[prev]) // 2 if pos > 0 else np.zeros(3, dtype=np.int64)

@@ -1,0 +1,98 @@
+"""TPU-native decode (kernels/decode_dev.py) vs the executable spec.
+
+The device decoder is the parallel counterpart of the reference's serial
+decode loop (ref code.rs:573-684, hfe.rs:206-222, bitreader.rs:78-100); every
+test round-trips spec-encoded bytes through `decode_jax` and demands byte
+equality with the input raster, exercising both reconstruction paths
+(serial chain spec and the segment-LUT row kernel).
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from nicetpu.kernels.decode_dev import decode_jax
+from nicetpu.spec import codec
+
+
+def _cases() -> dict[str, np.ndarray]:
+    rng = np.random.default_rng(7)
+    cases: dict[str, np.ndarray] = {}
+    cases["noise"] = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    cases["const"] = np.full((40, 32, 3), 77, np.uint8)  # one full-image run
+    x = np.zeros((16, 16, 3), np.uint8)
+    x[:8] = 5
+    x[8:] = 200
+    cases["two-band-runs"] = x
+    cases["tiny-w4"] = rng.integers(0, 256, (5, 4, 3)).astype(np.uint8)
+    cases["one-row"] = rng.integers(0, 256, (1, 64, 3)).astype(np.uint8)
+    cases["grad"] = (
+        (
+            np.arange(96)[None, :, None] * 2
+            + np.arange(128)[:, None, None]
+            + rng.integers(-2, 3, (128, 96, 3))
+        )
+        % 256
+    ).astype(np.uint8)
+    x = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    x[10:] = x[9, -1]
+    cases["tail-run"] = x  # run ending exactly at the raster end (A.8.8)
+    x = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    x[:20] = 0
+    cases["head-run"] = x
+    # last-3-columns same-row back-refs (w-1 / w-3 wrap, SURVEY A.8.2):
+    # make column 0..2 values recur at the row ends
+    x = rng.integers(0, 256, (8, 12, 3)).astype(np.uint8)
+    x[:, -1] = np.roll(x[:, 0], -1, axis=0)
+    x[2:, -1] = x[2:, 0]
+    cases["row-wrap-refs"] = x
+    return cases
+
+
+@pytest.mark.parametrize("name", list(_cases()))
+def test_roundtrip_rows_kernel(name):
+    img = _cases()[name]
+    out = decode_jax(codec.encode(img))
+    np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.parametrize("name", ["noise", "grad", "tail-run", "row-wrap-refs"])
+def test_roundtrip_serial_recon(name):
+    img = _cases()[name]
+    out = decode_jax(codec.encode(img), serial_recon=True)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_golden_fixtures_match_spec():
+    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "data", "*.nice")))
+    assert files
+    for f in files:
+        data = open(f, "rb").read()
+        np.testing.assert_array_equal(decode_jax(data), codec.decode(data))
+
+
+def test_max_token_density():
+    """All-encoded noise maximizes chain length (every pixel a prefix +
+    payload, zero runs) — stresses the pointer-doubling level budget."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (48, 52, 3)).astype(np.uint8)
+    out = decode_jax(codec.encode(img))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_fallback_on_garbage_is_clean():
+    """A corrupted payload must either decode via the host fallback or raise
+    a clean ValueError — never crash or hang (SURVEY A.8.4 anti-goal)."""
+    img = _cases()["grad"]
+    data = bytearray(codec.encode(img))
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        mutated = bytearray(data)
+        for _ in range(8):
+            mutated[rng.integers(800, len(data))] ^= int(rng.integers(1, 256))
+        try:
+            decode_jax(bytes(mutated))
+        except (ValueError, OverflowError):
+            pass
