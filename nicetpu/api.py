@@ -14,6 +14,17 @@ from __future__ import annotations
 import numpy as np
 
 
+def _resolve_backend(backend: str | None, config=None) -> str:
+    """Backend resolution: explicit arg > config > NICETPU_BACKEND > auto."""
+    if backend is not None and backend != "config":
+        return backend
+    if config is None:
+        from nicetpu.config import RuntimeConfig
+
+        config = RuntimeConfig.from_env()
+    return config.backend
+
+
 def _to_rgb(img: np.ndarray) -> np.ndarray:
     if img.ndim != 3 or img.dtype != np.uint8:
         raise ValueError("expected (H, W, C) uint8 image")
@@ -24,11 +35,13 @@ def _to_rgb(img: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
-def encode(img: np.ndarray, backend: str = "auto") -> bytes:
+def encode(img: np.ndarray, backend: str | None = None, config=None) -> bytes:
     """Encode an (H, W, 3|4) uint8 array to `.nice` bytes.
 
-    backend: "auto" | "jax" | "native" | "spec".
+    backend: "auto" | "jax" | "native" | "spec"; None resolves it from
+    `config` (a RuntimeConfig) or the NICETPU_BACKEND environment.
     """
+    backend = _resolve_backend(backend, config)
     img = _to_rgb(img)
     if backend in ("auto", "jax"):
         try:
@@ -51,15 +64,17 @@ def encode(img: np.ndarray, backend: str = "auto") -> bytes:
     return codec.encode(img)
 
 
-def decode(data: bytes, backend: str = "auto") -> np.ndarray:
+def decode(data: bytes, backend: str | None = None, config=None) -> np.ndarray:
     """Decode `.nice` bytes to an (H, W, 3) uint8 array.
 
-    backend: "auto" | "jax" | "native" | "spec".  "jax" is the TPU-native
+    backend: "auto" | "jax" | "native" | "spec"; None resolves it from
+    `config` or the NICETPU_BACKEND environment.  "jax" is the TPU-native
     decoder (chunked self-synchronizing entropy decode + segment-LUT
     reconstruction, kernels/decode_dev.py); "native" is the serial C++
     decoder.  "auto" prefers native for single images (lowest latency on one
     small image); batch decode on device should use decode_batch.
     """
+    backend = _resolve_backend(backend, config)
     if backend == "jax":
         from nicetpu.kernels.decode_dev import decode_jax
 
@@ -77,10 +92,11 @@ def decode(data: bytes, backend: str = "auto") -> np.ndarray:
     return codec.decode(data)
 
 
-def encode_batch(imgs: list[np.ndarray], backend: str = "auto") -> list[bytes]:
+def encode_batch(imgs: list[np.ndarray], backend: str | None = None, config=None) -> list[bytes]:
     """Batch encode (BASELINE configs 2/4).  Same-shape batches use the
     TPU pipeline with per-image Huffman tables; mixed sizes use the OpenMP
     native path (or per-image fallback)."""
+    backend = _resolve_backend(backend, config)
     imgs = [_to_rgb(im) for im in imgs]
     same_shape = len({im.shape for im in imgs}) == 1
     if backend in ("auto", "jax") and same_shape:
@@ -102,9 +118,10 @@ def encode_batch(imgs: list[np.ndarray], backend: str = "auto") -> list[bytes]:
     return [encode(im, backend="spec") for im in imgs]
 
 
-def decode_batch(datas: list[bytes], backend: str = "auto") -> list[np.ndarray]:
+def decode_batch(datas: list[bytes], backend: str | None = None, config=None) -> list[np.ndarray]:
     """Batch decode via the OpenMP native path (entropy decode is serial per
     image, SURVEY §7.3.5; parallelism comes from images)."""
+    backend = _resolve_backend(backend, config)
     if backend in ("auto", "native"):
         try:
             from nicetpu.hostref.oracle import decode_batch_native

@@ -15,10 +15,12 @@ import os
 class RuntimeConfig:
     backend: str = "auto"  # auto | jax | native | spec
     mesh_devices: int = 0  # 0 = all visible devices
-    batch_size: int = 24  # images per TPU batch dispatch
+    batch_size: int = 4  # images per TPU batch dispatch (pipeline)
+    workers: int = 4  # pipeline thread-pool width
     compilation_cache: str = "/root/repo/.jax_cache"
     fold_placement: bool = True  # per-pixel record fold (encode2)
     omp_threads: int = 0  # 0 = OpenMP default
+    verbose: bool = False  # stage-timing prints (cli / pipeline)
 
     @classmethod
     def from_env(cls, **overrides) -> "RuntimeConfig":

@@ -155,6 +155,19 @@ def canonical_decode_tables(
     return sorted_symbols, index_base, aligned_first
 
 
+def validate_flat_lengths(flat_lengths: np.ndarray) -> None:
+    """Corrupt-header hardening shared by the decoders: every stream's code
+    lengths must be in 1..=31 with an exactly complete Kraft sum (what every
+    conforming encoder emits — full-alphabet Huffman, SURVEY §2.3.1)."""
+    flat = np.asarray(flat_lengths, dtype=np.int64)
+    for s in range(C.NUM_STREAMS):
+        lens = flat[C.STREAM_BASE[s] : C.STREAM_BASE[s] + C.ALPHABET_SIZES[s]]
+        if (lens < 1).any() or (lens > C.MAX_CODE_LEN).any():
+            raise ValueError(f"corrupt stream header: stream {s} length out of range")
+        if int((1 << (C.MAX_CODE_LEN - lens)).sum()) != 1 << C.MAX_CODE_LEN:
+            raise ValueError(f"corrupt stream header: stream {s} Kraft sum != 1")
+
+
 def decode_dev_tables(
     flat_lengths: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -534,11 +534,12 @@ def reconstruct_rows(form, delta, refoff, n_pixels: int, width: int, segs: int):
 @partial(
     jax.jit,
     static_argnames=(
-        "n_pixels", "width", "wbits", "np_cap", "levels", "segs", "serial_recon",
+        "n_pixels", "width", "np_cap", "levels", "segs", "serial_recon",
     ),
 )
 def _device_decode(
     words,
+    wbits,
     af,
     present,
     ib,
@@ -547,7 +548,6 @@ def _device_decode(
     *,
     n_pixels: int,
     width: int,
-    wbits: int,
     np_cap: int,
     levels: int,
     segs: int,
@@ -612,23 +612,31 @@ def decode_jax(data: bytes, *, serial_recon: bool = False) -> np.ndarray:
         raise ValueError(f"width must be >= {C.MIN_WIDTH}")
     N = W * H
     flat_lengths = headers.parse_stream_headers(data[C.FILE_HEADER_BYTES :])
+    from nicetpu.format import huffman
+
+    huffman.validate_flat_lengths(flat_lengths)  # clean reject, no raw errors
     tabs = prepare_tables(flat_lengths)
 
     payload = data[C.FILE_HEADER_BYTES + C.STREAM_HEADERS_BYTES : len(data) - 4]
     wbits = len(payload) * 8
-    pad = (-len(payload)) % 4 + 8
-    words = np.frombuffer(payload + b"\0" * pad, dtype=">u4").astype(np.uint32)
+    # Bucket the word-array length so payload-size jitter between images of
+    # one shape reuses the same executable (wbits itself is a traced scalar).
+    n_words = len(payload) // 4 + 3
+    bucket = max(1024, -(-n_words // 16384) * 16384)  # 64 KiB granularity
+    src = np.frombuffer(payload + b"\0" * ((-len(payload)) % 4), dtype=">u4")
+    words = np.zeros(bucket, dtype=">u4")
+    words[: src.shape[0]] = src
 
     np_cap = N + 80
     levels = max(1, int(np.ceil(np.log2(np_cap))) + 1)
     segs = _pick_segs(W)
 
     out, ok = _device_decode(
-        jnp.asarray(words),
+        jnp.asarray(words.astype(np.uint32)),
+        jnp.int32(wbits),
         *(jnp.asarray(t) for t in tabs),
         n_pixels=N,
         width=W,
-        wbits=wbits,
         np_cap=np_cap,
         levels=levels,
         segs=segs,

@@ -300,8 +300,15 @@ class StreamDecoder:
     range fallback for streams whose max code length exceeds the LUT cap."""
 
     def __init__(self, lengths: np.ndarray) -> None:
-        self.max_aob = int(lengths.max())
         self.lengths = np.asarray(lengths, dtype=np.int64)
+        # Corrupt-header hardening (matches the C++ decoder): every length in
+        # 1..=31 and the code exactly complete (Kraft sum == 1) — what every
+        # conforming encoder emits (full-alphabet Huffman, SURVEY §2.3.1).
+        if (self.lengths < 1).any() or (self.lengths > C.MAX_CODE_LEN).any():
+            raise ValueError("corrupt stream header: code length out of range")
+        if int((1 << (C.MAX_CODE_LEN - self.lengths)).sum()) != 1 << C.MAX_CODE_LEN:
+            raise ValueError("corrupt stream header: non-canonical Kraft sum")
+        self.max_aob = int(lengths.max())
         if self.max_aob <= 16:
             codes = huffman.canonical_codes(lengths)
             self.lut_sym, self.lut_aob = huffman.decode_lut(lengths, codes)

@@ -88,11 +88,12 @@ def test_fallback_on_garbage_is_clean():
     img = _cases()["grad"]
     data = bytearray(codec.encode(img))
     rng = np.random.default_rng(3)
-    for _ in range(5):
-        mutated = bytearray(data)
-        for _ in range(8):
-            mutated[rng.integers(800, len(data))] ^= int(rng.integers(1, 256))
-        try:
-            decode_jax(bytes(mutated))
-        except (ValueError, OverflowError):
-            pass
+    for lo in (13, 800):  # stream-header region and payload region
+        for _ in range(5):
+            mutated = bytearray(data)
+            for _ in range(8):
+                mutated[rng.integers(lo, len(data))] ^= int(rng.integers(1, 256))
+            try:
+                decode_jax(bytes(mutated))
+            except (ValueError, OverflowError):
+                pass

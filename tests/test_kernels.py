@@ -107,6 +107,28 @@ class TestSharded:
         for img in cases:
             assert encode_sharded(img, mesh) == codec.encode(img)
 
+    def test_sharded_2048_scale(self):
+        """BASELINE config-5 stepping stone (VERDICT round-1 task 8): a
+        2048x2048 raster on the 8-mesh whose runs span >8^3 pixels and cross
+        multiple shard boundaries (multi-digit run folds + the all_gather
+        tail fix), byte-equal to the spec encoder."""
+        from nicetpu.dist.sharded import encode_sharded, make_mesh
+
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(21)
+        img = rng.integers(0, 256, (2048, 2048, 3), dtype=np.uint8)
+        # a >1.2M-pixel run crossing shards 1-3 (shard = 256 rows);
+        # v = 1259519 needs 7 base-8 digits
+        img[300:900] = img[299, -1]
+        # a medium run ending exactly on a shard boundary
+        img[1024 - 40 : 1024] = img[1024 - 41, -1]
+        # smooth gradient region (mode-cascade variety, short runs)
+        yy, xx = np.mgrid[0:512, 0:2048]
+        img[1300:1812] = (
+            np.stack([xx // 8 + yy, xx // 16, yy // 4], axis=-1) % 256
+        ).astype(np.uint8)
+        assert encode_sharded(img, mesh) == codec.encode(img)
+
 
 class TestGraftEntry:
     def test_entry_compiles(self):
