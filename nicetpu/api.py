@@ -25,24 +25,44 @@ def _resolve_backend(backend: str | None, config=None) -> str:
     return config.backend
 
 
-def _to_rgb(img: np.ndarray) -> np.ndarray:
+def _to_rgb(img: np.ndarray, alpha: str = "drop") -> np.ndarray:
+    """Normalize to (H, W, 3) uint8.
+
+    The `.nice` wire format cannot round-trip alpha: the reference encoder
+    accepts RGBA but its decoder reconstructs 3 bytes/pixel unconditionally
+    (ref code.rs:659; SURVEY A.8.3), so reference channels=4 files are
+    undecodable even by the reference itself.  This codec therefore always
+    writes channels=3; `alpha` controls the RGBA policy:
+      "drop"  - discard the alpha plane (the reference encoder's behavior)
+      "error" - refuse RGBA input outright
+    """
     if img.ndim != 3 or img.dtype != np.uint8:
         raise ValueError("expected (H, W, C) uint8 image")
     if img.shape[2] == 4:
-        img = img[:, :, :3]  # alpha dropped, as the reference encoder does
+        if alpha == "error":
+            raise ValueError(
+                "RGBA input refused (alpha='error'): .nice cannot round-trip "
+                "alpha (SURVEY A.8.3)"
+            )
+        if alpha != "drop":
+            raise ValueError(f"unknown alpha policy {alpha!r}")
+        img = img[:, :, :3]
     if img.shape[2] != 3:
         raise ValueError("expected RGB or RGBA image")
     return np.ascontiguousarray(img)
 
 
-def encode(img: np.ndarray, backend: str | None = None, config=None) -> bytes:
+def encode(
+    img: np.ndarray, backend: str | None = None, config=None, alpha: str = "drop"
+) -> bytes:
     """Encode an (H, W, 3|4) uint8 array to `.nice` bytes.
 
     backend: "auto" | "jax" | "native" | "spec"; None resolves it from
     `config` (a RuntimeConfig) or the NICETPU_BACKEND environment.
+    alpha: RGBA policy — "drop" (reference behavior) or "error" (see _to_rgb).
     """
     backend = _resolve_backend(backend, config)
-    img = _to_rgb(img)
+    img = _to_rgb(img, alpha)
     if backend in ("auto", "jax"):
         try:
             from nicetpu.kernels.encode2 import encode_jax_v2
@@ -119,9 +139,14 @@ def encode_batch(imgs: list[np.ndarray], backend: str | None = None, config=None
 
 
 def decode_batch(datas: list[bytes], backend: str | None = None, config=None) -> list[np.ndarray]:
-    """Batch decode via the OpenMP native path (entropy decode is serial per
-    image, SURVEY §7.3.5; parallelism comes from images)."""
+    """Batch decode.  "native" (OpenMP across images) is the default host
+    path; "jax" runs the TPU-native decoder as ONE vmapped dispatch over a
+    same-shape batch (kernels/decode_dev.decode_batch_jax)."""
     backend = _resolve_backend(backend, config)
+    if backend == "jax":
+        from nicetpu.kernels.decode_dev import decode_batch_jax
+
+        return decode_batch_jax(datas)
     if backend in ("auto", "native"):
         try:
             from nicetpu.hostref.oracle import decode_batch_native

@@ -531,13 +531,7 @@ def reconstruct_rows(form, delta, refoff, n_pixels: int, width: int, segs: int):
 # ---------------------------------------------------------------------------
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "n_pixels", "width", "np_cap", "levels", "segs", "serial_recon",
-    ),
-)
-def _device_decode(
+def _decode_core(
     words,
     wbits,
     af,
@@ -572,6 +566,19 @@ def _device_decode(
     else:
         out = reconstruct_rows(form, delta, refoff, n_pixels, width, segs)
     return out.astype(jnp.uint8), pix["ok"]
+
+
+_STATIC = ("n_pixels", "width", "np_cap", "levels", "segs", "serial_recon")
+_device_decode = partial(jax.jit, static_argnames=_STATIC)(_decode_core)
+
+
+@partial(jax.jit, static_argnames=_STATIC)
+def _device_decode_batch(words, wbits, af, present, ib, sorted_flat, pfx_sorted, **kw):
+    """vmapped decode of a same-shape batch: words (B, Bw), wbits (B,),
+    tables stacked with a leading batch axis."""
+    return jax.vmap(
+        lambda w, b, a, p, i, s, f: _decode_core(w, b, a, p, i, s, f, **kw)
+    )(words, wbits, af, present, ib, sorted_flat, pfx_sorted)
 
 
 def _pick_segs(width: int) -> int:
@@ -647,3 +654,64 @@ def decode_jax(data: bytes, *, serial_recon: bool = False) -> np.ndarray:
 
         return codec.decode(data)
     return np.asarray(out).reshape(H, W, 3)
+
+
+def decode_batch_jax(datas: list[bytes], *, serial_recon: bool = False) -> list[np.ndarray]:
+    """Batched TPU-native decode of same-shape `.nice` streams (one vmapped
+    dispatch; per-image Huffman tables).  Decode throughput on device comes
+    from batching — the per-bit table build, chain doubling, and row scans
+    all vectorize across images.  Falls back per image on corrupt streams."""
+    from nicetpu.format import headers, huffman
+
+    if not datas:
+        return []
+    shapes = {headers.parse_file_header(d)[:2] for d in datas}
+    if len(shapes) != 1:
+        raise ValueError("decode_batch_jax requires same-shape streams")
+    W, H = next(iter(shapes))
+    if W < C.MIN_WIDTH:
+        raise ValueError(f"width must be >= {C.MIN_WIDTH}")
+    N = W * H
+
+    tabs = []
+    payloads = []
+    for d in datas:
+        if headers.parse_file_header(d)[2] != 3:
+            raise ValueError("only channels=3 decode is defined (SURVEY A.8.3)")
+        flat_lengths = headers.parse_stream_headers(d[C.FILE_HEADER_BYTES :])
+        huffman.validate_flat_lengths(flat_lengths)
+        tabs.append(prepare_tables(flat_lengths))
+        payloads.append(d[C.FILE_HEADER_BYTES + C.STREAM_HEADERS_BYTES : len(d) - 4])
+
+    n_words = max(len(p) for p in payloads) // 4 + 3
+    bucket = max(1024, -(-n_words // 16384) * 16384)
+    words = np.zeros((len(datas), bucket), dtype=np.uint32)
+    wbits = np.zeros(len(datas), dtype=np.int32)
+    for i, p in enumerate(payloads):
+        src = np.frombuffer(p + b"\0" * ((-len(p)) % 4), dtype=">u4")
+        words[i, : src.shape[0]] = src
+        wbits[i] = len(p) * 8
+
+    np_cap = N + 80
+    out, ok = _device_decode_batch(
+        jnp.asarray(words),
+        jnp.asarray(wbits),
+        *(jnp.asarray(np.stack([t[j] for t in tabs])) for j in range(5)),
+        n_pixels=N,
+        width=W,
+        np_cap=np_cap,
+        levels=max(1, int(np.ceil(np.log2(np_cap))) + 1),
+        segs=_pick_segs(W),
+        serial_recon=serial_recon,
+    )
+    ok_np = np.asarray(ok)
+    out_np = np.asarray(out)
+    result = []
+    for i, d in enumerate(datas):
+        if bool(ok_np[i]):
+            result.append(out_np[i].reshape(H, W, 3))
+        else:
+            from nicetpu.spec import codec
+
+            result.append(codec.decode(d))
+    return result

@@ -66,3 +66,34 @@ class TestApiBatch:
         outs = api.decode_batch(datas)
         for im, o in zip(imgs, outs):
             np.testing.assert_array_equal(o, im)
+
+
+class TestAlphaPolicy:
+    """channels=4 wire story (SURVEY A.8.3): the reference encoder writes
+    channels=4 files its own decoder cannot reconstruct; this codec always
+    writes channels=3 with an explicit, tested RGBA policy."""
+
+    def test_rgba_drop_matches_rgb(self):
+        from nicetpu import api
+
+        rng = np.random.default_rng(0)
+        rgb = rng.integers(0, 256, (12, 16, 3)).astype(np.uint8)
+        rgba = np.dstack([rgb, rng.integers(0, 256, (12, 16)).astype(np.uint8)])
+        assert api.encode(rgba, backend="spec") == api.encode(rgb, backend="spec")
+
+    def test_rgba_error_policy(self):
+        import pytest
+
+        from nicetpu import api
+
+        rgba = np.zeros((8, 8, 4), np.uint8)
+        with pytest.raises(ValueError, match="alpha"):
+            api.encode(rgba, backend="spec", alpha="error")
+
+    def test_wire_channels_always_3(self):
+        from nicetpu import api
+        from nicetpu.format import headers
+
+        rgba = np.zeros((8, 8, 4), np.uint8)
+        data = api.encode(rgba, backend="spec")
+        assert headers.parse_file_header(data)[2] == 3

@@ -97,3 +97,25 @@ def test_fallback_on_garbage_is_clean():
                 decode_jax(bytes(mutated))
             except (ValueError, OverflowError):
                 pass
+
+
+def test_decode_batch_jax():
+    """One vmapped dispatch decodes a same-shape batch with per-image tables;
+    a corrupt member falls back per image without poisoning the batch."""
+    from nicetpu.kernels.decode_dev import decode_batch_jax
+
+    rng = np.random.default_rng(17)
+    imgs = [rng.integers(0, 256, (24, 16, 3)).astype(np.uint8) for _ in range(3)]
+    imgs.append(np.full((24, 16, 3), 9, np.uint8))
+    datas = [codec.encode(im) for im in imgs]
+    for o, im in zip(decode_batch_jax(datas), imgs):
+        np.testing.assert_array_equal(o, im)
+
+    bad = bytearray(datas[1])
+    bad[900] ^= 0xFF
+    try:
+        outs = decode_batch_jax([datas[0], bytes(bad), datas[2]])
+        np.testing.assert_array_equal(outs[0], imgs[0])
+        np.testing.assert_array_equal(outs[2], imgs[2])
+    except ValueError:
+        pass  # clean reject of the corrupt member is also acceptable
