@@ -1,20 +1,23 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
 Headline: encode+decode throughput (MB/s) for bit-exact 512x512 RGB8
-round-trips (BASELINE config 1).  Images are resident in device HBM (one
+round-trips (BASELINE config 1), batches resident in device HBM (one
 untimed upload — the device analogue of the serial C++ baseline holding its
-images in host RAM); each timed round-trip runs the fused single-dispatch
-TPU encode (on-device Huffman tables), fetches only the compressed payload
-over the tunnel, and decodes with the native C++ batch decoder, pipelined
-across a thread pool so device compute, tunnel transfers, and host decode
-overlap.
+images in host RAM).  The timed pipeline is the framework's heterogeneous
+scheduler (`pipeline.roundtrip_hybrid`): TPU workers drain batches from the
+front of a work queue (fused single-dispatch encode with on-device Huffman
+tables, payload fetch over the tunnel, OpenMP batch decode) while host
+workers drain from the back with the byte-identical native codec — work
+stealing across every compute resource, where the reference burns one core
+(ref main.rs single-shot loop).
 
 vs_baseline is the speedup over the all-serial C++ oracle round-trip on the
 same images (the stand-in for the unrunnable single-threaded Rust reference,
-BASELINE.md).  Extra JSON fields report the split the tunnel harness hides:
+BASELINE.md).  Extra JSON fields split what the headline hides:
   device_only   - fused encode dispatch throughput (device compute + small
                   table fetch, no payload transfer)
-  decode_device - the TPU-native decoder (kernels/decode_dev.py) alone
+  decode_device - TPU-native batch decoder (kernels/decode_dev.py) alone
+  tpu_share     - fraction of batches the TPU stream won in the work race
   ratio         - compressed-size ratio raw/nice on the bench images
 """
 
@@ -24,15 +27,16 @@ import json
 import os
 import sys
 import time
-from concurrent.futures import ThreadPoolExecutor
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import numpy as np
 
-N_IMAGES = 32
-WORKERS = 8
+N_IMAGES = 64
 BATCH = 8
+TPU_THREADS = 3
+CPU_THREADS = 1
+TIME_BUDGET_S = 480  # skip optional extras if the run gets close to this
 
 
 def make_image(h: int, w: int, seed: int = 0) -> np.ndarray:
@@ -46,125 +50,117 @@ def make_image(h: int, w: int, seed: int = 0) -> np.ndarray:
 
 
 def main() -> int:
+    t_start = time.perf_counter()
     from nicetpu.hostref import oracle
 
     imgs = [make_image(512, 512, s) for s in range(N_IMAGES)]
     mb = sum(im.nbytes for im in imgs) / 1e6
 
-    # Serial C++ baseline round-trip (single-threaded, like the reference)
+    # Serial C++ baseline round-trip (single-threaded, like the reference);
+    # best-of-2 passes over 8 images to damp host CPU noise.
     data_ref = oracle.encode_native(imgs[0])
     assert np.array_equal(oracle.decode_native(data_ref), imgs[0])
-    t0 = time.perf_counter()
-    for im in imgs[:8]:
-        out = oracle.decode_native(oracle.encode_native(im))
-    t_ref = (time.perf_counter() - t0) / 8
+    t_ref = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for im in imgs[:8]:
+            out = oracle.decode_native(oracle.encode_native(im))
+        t_ref = min(t_ref, (time.perf_counter() - t0) / 8)
     assert np.array_equal(out, imgs[7])
     base_mbs = imgs[0].nbytes / 1e6 / t_ref
 
     extras: dict = {}
+    value = 0.0
     try:
-        import jax
-
-        from nicetpu.pipeline import encode_batch_resident, upload_batch
+        from nicetpu.pipeline import (
+            _w_cap,
+            encode_batch_resident,
+            roundtrip_hybrid,
+            upload_batch,
+        )
 
         shape = imgs[0].shape
-        host_batches = [imgs[i : i + BATCH] for i in range(0, N_IMAGES, BATCH)]
-        dev_batches = [upload_batch(b) for b in host_batches]
-
-        from nicetpu.format import headers
-        from nicetpu.kernels.bitpack import words_to_payload
-        from nicetpu.kernels.encode2 import encode_fused
-        from nicetpu.pipeline import FETCH_BUCKET_WORDS, _w_cap
-
         H, W, _ = shape
-        N = H * W
-        w_cap = _w_cap(N)
-        file_hdr = headers.pack_file_header(W, H, 3)
+        host_batches = [imgs[i : i + BATCH] for i in range(0, N_IMAGES, BATCH)]
+        batches = [(hb, upload_batch(hb)) for hb in host_batches]
 
-        def rt(i: int):
-            """One batch: fused encode on the resident images, payload fetch,
-            host assembly, native batch decode.  Workers overlap device
-            compute, tunnel transfers, and host decode across batches."""
-            words_d, small_d = encode_fused(
-                dev_batches[i], width=W, ndigits_cap=3, w_cap=w_cap
-            )
-            small = np.asarray(small_d)
-            totals = small[:, 858]
-            assert not small[:, 859].any(), "fused fast-path overflow"
-            kmax = int(totals.max()) // 32 + 2
-            kmax = min(-(-kmax // FETCH_BUCKET_WORDS) * FETCH_BUCKET_WORDS, w_cap)
-            words = np.asarray(words_d[:, :kmax]).astype(np.uint32)
-            blobs = [
-                file_hdr
-                + headers.pack_stream_headers(small[b, :858].astype(np.uint8))
-                + words_to_payload(words[b], int(totals[b]))
-                for b in range(words.shape[0])
-            ]
-            return blobs, oracle.decode_batch_native(blobs)
-
-        def rt_all(pool) -> list:
-            return list(pool.map(rt, range(len(dev_batches))))
-
-        # warm every executable + prove bit-exactness
+        # warm the TPU executables serially (concurrent first-compiles race
+        # on this backend), then one full hybrid pass proving bit-exactness
         print("warmup...", file=sys.stderr, flush=True)
-        with ThreadPoolExecutor(max_workers=WORKERS) as pool:
-            outs = rt_all(pool)
-            for (blobs, decs), hb in zip(outs, host_batches):
-                for d, im in zip(decs, hb):
-                    assert np.array_equal(d, im), "round-trip mismatch"
-            extras["ratio"] = round(
-                mb * 1e6 / sum(len(b) for blobs, _ in outs for b in blobs), 3
-            )
+        encode_batch_resident(batches[0][1], shape, batches[0][0])
+        results, stats = roundtrip_hybrid(
+            batches, tpu_threads=TPU_THREADS, cpu_threads=CPU_THREADS
+        )
+        blobs_all = []
+        for out, hb in zip(results, host_batches):
+            for (d, dec), im in zip(out, hb):
+                assert np.array_equal(dec, im), "round-trip mismatch"
+                blobs_all.append(d)
+        extras["ratio"] = round(mb * 1e6 / sum(len(b) for b in blobs_all), 3)
 
-            value = 0.0
-            for rep in range(3):
-                t0 = time.perf_counter()
-                outs = rt_all(pool)
-                value = max(value, mb / (time.perf_counter() - t0))
-                print(f"rep {rep}: {value:.1f} MB/s", file=sys.stderr, flush=True)
-            for (blobs, decs), hb in zip(outs, host_batches):
-                for d, im in zip(decs, hb):
-                    assert np.array_equal(d, im), "round-trip mismatch"
+        shares = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            results, stats = roundtrip_hybrid(
+                batches, tpu_threads=TPU_THREADS, cpu_threads=CPU_THREADS
+            )
+            dt = time.perf_counter() - t0
+            value = max(value, mb / dt)
+            shares.append(stats["tpu_batches"] / len(batches))
+            print(
+                f"rep {rep}: {mb / dt:.1f} MB/s tpu_share="
+                f"{shares[-1]:.2f} errors={stats['tpu_errors']}",
+                file=sys.stderr,
+                flush=True,
+            )
+        for out, hb in zip(results, host_batches):
+            for (d, dec), im in zip(out, hb):
+                assert np.array_equal(dec, im), "round-trip mismatch"
+        extras["tpu_share"] = round(max(shares), 3)
 
         # device-only encode throughput: fused dispatch + small-table fetch,
         # payload stays on device
         from nicetpu.kernels.encode2 import encode_fused
-        from nicetpu.pipeline import _w_cap
 
-        N = shape[0] * shape[1]
+        N = H * W
         w_cap = _w_cap(N)
         best = 0.0
         for _ in range(3):
             t0 = time.perf_counter()
-            for d in dev_batches:
-                _, small_d = encode_fused(d, width=shape[1], ndigits_cap=3, w_cap=w_cap)
+            for _, dev in batches[:4]:
+                _, small_d = encode_fused(dev, width=W, ndigits_cap=3, w_cap=w_cap)
                 np.asarray(small_d)  # sync on the small fetch only
-            best = max(best, mb / (time.perf_counter() - t0))
+            best = max(best, 4 * BATCH * imgs[0].nbytes / 1e6 / (time.perf_counter() - t0))
         extras["device_only"] = round(best, 2)
 
-        # TPU-native decode (kernels/decode_dev.py) on one image
-        try:
-            from nicetpu.kernels.decode_dev import decode_jax
+        # TPU-native batch decode (one vmapped dispatch over 8 images)
+        if time.perf_counter() - t_start < TIME_BUDGET_S - 120:
+            try:
+                from nicetpu.kernels.decode_dev import decode_batch_jax
 
-            blob0 = outs[0][0][0]
-            dec = decode_jax(blob0)
-            assert np.array_equal(dec, imgs[0])
-            ts = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                decode_jax(blob0)
-                ts.append(time.perf_counter() - t0)
-            extras["decode_device"] = round(imgs[0].nbytes / 1e6 / min(ts), 2)
-        except Exception as e:  # pragma: no cover
-            extras["decode_device_error"] = str(e)[:120]
+                blob8 = blobs_all[:BATCH]
+                decs = decode_batch_jax(blob8)
+                for dec, im in zip(decs, imgs[:BATCH]):
+                    assert np.array_equal(dec, im)
+                ts = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    decode_batch_jax(blob8)
+                    ts.append(time.perf_counter() - t0)
+                extras["decode_device"] = round(
+                    BATCH * imgs[0].nbytes / 1e6 / min(ts), 2
+                )
+            except Exception as e:  # pragma: no cover
+                extras["decode_device_error"] = str(e)[:120]
     except Exception as e:  # pragma: no cover - report baseline if TPU breaks
         print(f"TPU path failed ({e}); reporting native-only", file=sys.stderr)
-        value = base_mbs
+        if value == 0.0:
+            value = base_mbs
 
     print(
         json.dumps(
             {
-                "metric": "encode+decode MB/s (512x512 RGB8 bit-exact round-trips, resident pipelined)",
+                "metric": "encode+decode MB/s (512x512 RGB8 bit-exact round-trips, hybrid TPU+host pipeline)",
                 "value": round(value, 2),
                 "unit": "MB/s",
                 "vs_baseline": round(value / base_mbs, 3),

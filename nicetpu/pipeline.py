@@ -137,6 +137,112 @@ def _encode_batch_core(flat, shape, imgs=None) -> list[bytes]:
     return out
 
 
+def roundtrip_hybrid(
+    batches: "list[tuple[list[np.ndarray], object]]",
+    *,
+    tpu_threads: int = 3,
+    cpu_threads: int = 1,
+) -> tuple[list[list[tuple[bytes, np.ndarray]]], dict]:
+    """Heterogeneous round-trip: TPU and host CPUs drain one work queue.
+
+    batches: list of (host_imgs, dev_batch) where dev_batch is an uploaded
+    (B, N, 3) device array (see `upload_batch`) or None for host-only
+    entries.  TPU workers pop batches from the FRONT (fused dispatch +
+    payload fetch + OpenMP batch decode); CPU workers pop from the BACK
+    (serial native encode+decode, releasing the GIL inside ctypes).  The
+    two ends meet wherever the resources balance — work stealing, no static
+    split.  This is the production scheduling answer to the measured system
+    profile (ARCHITECTURE.md): the device pipeline is bound by the D2H wire,
+    which leaves host cores idle; the reference burns one core and leaves
+    everything else idle (ref main.rs single-shot loop).
+
+    Returns (results ordered like batches, stats).  Transient device/tunnel
+    errors retry once, then the batch is re-routed to the host path —
+    correctness never depends on the accelerator (per-batch error isolation,
+    SURVEY §5 failure-detection row).
+    """
+    import threading
+
+    from nicetpu.hostref import oracle
+
+    n = len(batches)
+    results: list = [None] * n
+    lock = threading.Lock()
+    lo, hi = 0, n - 1  # queue front / back cursors
+    stats = {"tpu_batches": 0, "cpu_batches": 0, "tpu_errors": 0}
+
+    def pop_front():
+        nonlocal lo
+        with lock:
+            if lo > hi:
+                return None
+            i = lo
+            lo += 1
+            return i
+
+    def pop_back():
+        nonlocal hi
+        with lock:
+            if lo > hi:
+                return None
+            i = hi
+            hi -= 1
+            return i
+
+    def do_cpu(i: int) -> None:
+        host_imgs, _ = batches[i]
+        out = []
+        for im in host_imgs:
+            d = oracle.encode_native(im)
+            out.append((d, oracle.decode_native(d)))
+        results[i] = out
+
+    def do_tpu(i: int) -> bool:
+        host_imgs, dev = batches[i]
+        if dev is None:
+            return False
+        datas = encode_batch_resident(dev, host_imgs[0].shape, host_imgs)
+        decs = oracle.decode_batch_native(datas)
+        results[i] = list(zip(datas, decs))
+        return True
+
+    def tpu_worker() -> None:
+        while True:
+            i = pop_front()
+            if i is None:
+                return
+            try:
+                ok = do_tpu(i)
+            except Exception:
+                with lock:
+                    stats["tpu_errors"] += 1
+                ok = False
+            if ok:
+                with lock:
+                    stats["tpu_batches"] += 1
+            else:
+                do_cpu(i)
+                with lock:
+                    stats["cpu_batches"] += 1
+
+    def cpu_worker() -> None:
+        while True:
+            i = pop_back()
+            if i is None:
+                return
+            do_cpu(i)
+            with lock:
+                stats["cpu_batches"] += 1
+
+    threads = [threading.Thread(target=tpu_worker) for _ in range(tpu_threads)]
+    threads += [threading.Thread(target=cpu_worker) for _ in range(cpu_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return results, stats
+
+
 def encode_one(img: np.ndarray) -> bytes:
     """Encode one (H, W, 3) uint8 image via the fused single-dispatch TPU
     path, falling back to the byte-identical native encoder on overflow."""

@@ -68,6 +68,46 @@ class TestApiBatch:
             np.testing.assert_array_equal(o, im)
 
 
+class TestHybridScheduler:
+    """Heterogeneous round-trip scheduler (pipeline.roundtrip_hybrid): TPU
+    and CPU workers drain one queue from opposite ends; every stream must be
+    byte-identical to the spec encoder regardless of who won each batch."""
+
+    def test_hybrid_byte_exact_and_complete(self):
+        from nicetpu.pipeline import roundtrip_hybrid, upload_batch
+
+        rng = np.random.default_rng(3)
+        imgs = [
+            (rng.integers(0, 5, (16, 32, 1)) * 50 + rng.integers(0, 4, (16, 32, 3))).astype(
+                np.uint8
+            )
+            for _ in range(12)
+        ]
+        hb = [imgs[i : i + 4] for i in range(0, 12, 4)]
+        batches = [(b, upload_batch(b)) for b in hb]
+        res, stats = roundtrip_hybrid(batches, tpu_threads=2, cpu_threads=1)
+        assert stats["tpu_batches"] + stats["cpu_batches"] == len(batches)
+        for out, b in zip(res, hb):
+            for (d, dec), im in zip(out, b):
+                assert d == codec.encode(im)
+                np.testing.assert_array_equal(dec, im)
+
+    def test_hybrid_host_only_entries(self):
+        """dev_batch=None entries must route to the host path even when a
+        TPU worker pops them."""
+        from nicetpu.pipeline import roundtrip_hybrid
+
+        rng = np.random.default_rng(4)
+        imgs = [rng.integers(0, 256, (8, 16, 3)).astype(np.uint8) for _ in range(4)]
+        batches = [(imgs[:2], None), (imgs[2:], None)]
+        res, stats = roundtrip_hybrid(batches, tpu_threads=1, cpu_threads=0)
+        assert stats["cpu_batches"] == 2
+        for out, b in zip(res, [imgs[:2], imgs[2:]]):
+            for (d, dec), im in zip(out, b):
+                assert d == codec.encode(im)
+                np.testing.assert_array_equal(dec, im)
+
+
 class TestAlphaPolicy:
     """channels=4 wire story (SURVEY A.8.3): the reference encoder writes
     channels=4 files its own decoder cannot reconstruct; this codec always
