@@ -14,16 +14,19 @@ So there are NO serial token walks anywhere — three ideas:
    the per-length first codes (format.huffman.decode_dev_tables).  All ten
    lengths plus the prefix-stream symbol pack into two int32 words per bit.
 
-2. **Pixel-group jump table + pointer doubling (flat ops only).**  The
-   decoder's parser state machine (prefix -> payload tokens -> back to
-   prefix, ref code.rs:576-651) collapses into a single per-bit function
-   next0[p]: "if a pixel group starts at bit p, the next group starts at
-   next0[p]" — built with 8 flat gathers (prefix symbol selects the payload
-   slot streams; each slot hop is one gather into the packed tables).  The
-   true token boundaries are then the orbit of bit 0 under next0, computed
-   EXACTLY by pointer doubling (V |= V thru J; J = J[J]; log2(#tokens)
-   levels, two flat ops each).  No speculation, no convergence question:
-   run digits and mode prefixes are precisely the state-0 chain nodes.
+2. **Pixel-group jump table + chunked speculative walk.**  The decoder's
+   parser state machine (prefix -> payload tokens -> back to prefix, ref
+   code.rs:576-651) collapses into a single per-bit function next0[p]: "if
+   a pixel group starts at bit p, the next group starts at next0[p]" —
+   built with 8 flat gathers (prefix symbol selects the payload slot
+   streams; each slot hop is one gather into the packed tables).  The true
+   token boundaries are the orbit of bit 0 under next0, found by
+   `spec_chain_mask`: independent walks from every 512-bit chunk boundary,
+   self-synchronizing Huffman-style, each VERIFIED against the anchored
+   true entry (exit of the previous chunk) — O(B) gathered volume.  A miss
+   (corrupt stream, adversarial self-sync failure) clears `ok` and the
+   caller falls back; `chain_mask` (exact pointer doubling, O(B log B))
+   remains as the deterministic device-side alternative.
 
 3. **Gather-free segmented row reconstruction.**  The value chain
    out[p] = f_p(out[p-1], ...) is serial through the WHOLE raster (the
@@ -180,7 +183,11 @@ def chain_mask(next0, levels: int):
 
     After `levels` rounds the mask covers chain prefixes up to 2^levels
     nodes — exact, no speculation.  Chains longer than that (corrupt
-    streams) leave the mask incomplete, which the coverage check catches."""
+    streams) leave the mask incomplete, which the coverage check catches.
+
+    Cost: 2*levels flat gathers/scatters over ALL B bit positions
+    (~38x the payload in gathered volume at levels ~ 19) — kept as the
+    deterministic fallback; `spec_chain_mask` is ~5x cheaper."""
     B = next0.shape[0]
     V = jnp.zeros(B, jnp.int32).at[0].set(1)
     J = next0
@@ -188,6 +195,67 @@ def chain_mask(next0, levels: int):
         V = V.at[J].max(V)
         J = J[J]
     return V > 0
+
+
+def spec_chain_mask(
+    next0, wbits, *, chunk_bits: int = 4096, rounds: int = 3, unroll: int = 8
+):
+    """Speculative self-synchronizing chunked walk (gap-array technique from
+    the GPU Huffman literature, PAPERS.md): the orbit of bit 0 under next0
+    in O(rounds * B) gathered volume instead of pointer doubling's
+    O(B log B) (~38x the payload at 512^2).
+
+    A walk starts at every chunk_bits boundary and follows next0 for
+    chunk_bits steps (every group consumes >= 1 bit, so that always crosses
+    the chunk; walks freeze at their first position past the boundary —
+    that exit is the next chunk's candidate entry).  Huffman mode chains
+    self-synchronize, so a walk started mid-token usually merges with the
+    true chain well before its chunk ends — measured merge rates for this
+    grammar (10 interleaved streams, mode-driven parse) need ~2-4 kbit
+    chunks, weaker than single-stream Huffman.  Each subsequent round
+    re-walks every chunk from the candidate entries e_c (= previous round's
+    exit of chunk c-1, anchored at e_0 = 0); entry truth propagates at
+    least one chunk per round and in practice converges in <= 2 rounds at
+    chunk_bits = 4096.  The gate is exit CONSISTENCY of the final round:
+    if it reproduces the entries it was given, induction from the anchor
+    proves every e_c true (walks are deterministic functions of their
+    start).  Any residual inconsistency (corrupt stream, adversarial
+    self-sync failure) clears `ok` and the caller falls back — correctness
+    never rests on the heuristic.
+
+    Returns (visited (B,) bool, ok bool)."""
+    B = next0.shape[0]
+    if B % chunk_bits:
+        raise ValueError(f"B {B} must be a multiple of chunk_bits {chunk_bits}")
+    nch = B // chunk_bits
+    starts = jnp.arange(nch, dtype=jnp.int32) * chunk_bits
+    bounds = starts + chunk_bits
+
+    def step(p, _):
+        nxt = next0[jnp.minimum(p, B - 1)]
+        # max(p+1, .) forces progress on corrupt tables so chunk_bits steps
+        # always cross the boundary (wrong walks are caught by `ok`)
+        pn = jnp.where(p >= bounds, p, jnp.maximum(nxt, p + 1))
+        return pn, p
+
+    def walk(entries):
+        return jax.lax.scan(step, entries, None, length=chunk_bits, unroll=unroll)
+
+    e = starts
+    for _ in range(rounds - 1):
+        exits, _ = walk(e)
+        e = jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
+    exits, W = walk(e)
+    e2 = jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
+    live = starts < wbits
+    ok = jnp.all((e2 == e) | ~live)
+    mask = (W < bounds[None, :]) & (W < wbits)
+    visited = (
+        jnp.zeros(B, jnp.bool_)
+        .at[jnp.where(mask, W, B).reshape(-1)]
+        .set(True, mode="drop")
+    )
+    return visited, ok
 
 
 # ---------------------------------------------------------------------------
@@ -546,16 +614,23 @@ def _decode_core(
     levels: int,
     segs: int,
     serial_recon: bool = False,
+    chain: str = "spec",
 ):
     """End-to-end on-device decode of one payload.  Returns (out u8 (N,3), ok).
 
-    ok gates correctness: the assembled pixel coverage must tile the raster
-    exactly and the chain must fit np_cap.  The host wrapper falls back to
-    the serial decoder when ok is False (only possible for corrupt or
-    non-canonical streams)."""
+    chain: "spec" (speculative chunked walk, default) or "doubling" (exact
+    pointer doubling, ~5x more gathered volume).  ok gates correctness: the
+    assembled pixel coverage must tile the raster exactly, the chain must
+    fit np_cap, and (spec mode) every chunk walk must verify against its
+    anchored entry.  The host wrapper falls back to the serial decoder when
+    ok is False (corrupt/non-canonical streams, or a self-sync miss)."""
     nexta, nextb = build_next_tables(words, af, present, ib, pfx_sorted)
     next0 = pixel_jump(nexta, nextb)
-    visited = chain_mask(next0, levels)
+    if chain == "spec":
+        visited, ok_walk = spec_chain_mask(next0, wbits)
+    else:
+        visited = chain_mask(next0, levels)
+        ok_walk = jnp.bool_(True)
     pix = assemble_chain(
         visited, words, af, present, ib, sorted_flat, pfx_sorted,
         n_pixels, np_cap, wbits,
@@ -565,10 +640,10 @@ def _decode_core(
         out = reconstruct_serial(form, delta, refoff, n_pixels, width)
     else:
         out = reconstruct_rows(form, delta, refoff, n_pixels, width, segs)
-    return out.astype(jnp.uint8), pix["ok"]
+    return out.astype(jnp.uint8), pix["ok"] & ok_walk
 
 
-_STATIC = ("n_pixels", "width", "np_cap", "levels", "segs", "serial_recon")
+_STATIC = ("n_pixels", "width", "np_cap", "levels", "segs", "serial_recon", "chain")
 _device_decode = partial(jax.jit, static_argnames=_STATIC)(_decode_core)
 
 
@@ -604,7 +679,7 @@ def prepare_tables(flat_lengths: np.ndarray):
     return af, present, ib, sorted_flat.astype(np.int32), order.astype(np.int32)
 
 
-def decode_jax(data: bytes, *, serial_recon: bool = False) -> np.ndarray:
+def decode_jax(data: bytes, *, serial_recon: bool = False, chain: str = "spec") -> np.ndarray:
     """TPU-native `.nice` decode: bytes -> (H, W, 3) uint8.
 
     Parallel counterpart of ref code.rs:573-684 / hfe.rs:206-222 /
@@ -648,6 +723,7 @@ def decode_jax(data: bytes, *, serial_recon: bool = False) -> np.ndarray:
         levels=levels,
         segs=segs,
         serial_recon=serial_recon,
+        chain=chain,
     )
     if not bool(ok):
         from nicetpu.spec import codec
@@ -656,7 +732,9 @@ def decode_jax(data: bytes, *, serial_recon: bool = False) -> np.ndarray:
     return np.asarray(out).reshape(H, W, 3)
 
 
-def decode_batch_jax(datas: list[bytes], *, serial_recon: bool = False) -> list[np.ndarray]:
+def decode_batch_jax(
+    datas: list[bytes], *, serial_recon: bool = False, chain: str = "spec"
+) -> list[np.ndarray]:
     """Batched TPU-native decode of same-shape `.nice` streams (one vmapped
     dispatch; per-image Huffman tables).  Decode throughput on device comes
     from batching — the per-bit table build, chain doubling, and row scans
@@ -703,6 +781,7 @@ def decode_batch_jax(datas: list[bytes], *, serial_recon: bool = False) -> list[
         levels=max(1, int(np.ceil(np.log2(np_cap))) + 1),
         segs=_pick_segs(W),
         serial_recon=serial_recon,
+        chain=chain,
     )
     ok_np = np.asarray(ok)
     out_np = np.asarray(out)

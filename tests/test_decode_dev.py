@@ -82,6 +82,70 @@ def test_max_token_density():
     np.testing.assert_array_equal(out, img)
 
 
+@pytest.mark.parametrize("name", ["noise", "grad", "tail-run", "row-wrap-refs"])
+def test_roundtrip_doubling_chain(name):
+    """The exact pointer-doubling chain (fallback path) must agree."""
+    img = _cases()[name]
+    out = decode_jax(codec.encode(img), chain="doubling")
+    np.testing.assert_array_equal(out, img)
+
+
+def test_spec_chain_digit_dense():
+    """Adversarial for the speculative walk: alternating pixel/1-run
+    patterns make the prefix stream digit-dominated (1-2 bit groups, the
+    minimum-progress regime).  decode_jax must stay byte-exact — via the
+    verified walk or the clean fallback."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    img[:, 1::2] = img[:, 0::2]  # every pixel followed by a 1-pixel run
+    out = decode_jax(codec.encode(img))
+    np.testing.assert_array_equal(out, img)
+
+    # and a long single-digit-run texture (prefix stream nearly all digit-0)
+    img2 = np.repeat(rng.integers(0, 256, (32, 32, 3)), 2, axis=1).astype(np.uint8)
+    out2 = decode_jax(codec.encode(img2))
+    np.testing.assert_array_equal(out2, img2)
+
+
+def test_spec_chain_matches_doubling_mask():
+    """On valid streams the speculative walk must find EXACTLY the
+    pointer-doubling orbit (restricted to real payload bits)."""
+    import jax.numpy as jnp
+
+    from nicetpu.format import constants as C
+    from nicetpu.format import headers, huffman
+    from nicetpu.kernels.decode_dev import (
+        build_next_tables,
+        chain_mask,
+        pixel_jump,
+        prepare_tables,
+        spec_chain_mask,
+    )
+
+    rng = np.random.default_rng(29)
+    for img in (
+        rng.integers(0, 256, (24, 20, 3)).astype(np.uint8),
+        (rng.integers(0, 4, (40, 16, 1)) * 60 + rng.integers(0, 3, (40, 16, 3))).astype(np.uint8),
+    ):
+        data = codec.encode(img)
+        flat = headers.parse_stream_headers(data[C.FILE_HEADER_BYTES :])
+        tabs = prepare_tables(flat)
+        payload = data[C.FILE_HEADER_BYTES + C.STREAM_HEADERS_BYTES : len(data) - 4]
+        wbits = len(payload) * 8
+        src = np.frombuffer(payload + b"\0" * ((-len(payload)) % 4), dtype=">u4")
+        words = np.zeros(1024, dtype=np.uint32)
+        words[: src.shape[0]] = src.astype(np.uint32)
+        af, present, ib, sorted_flat, pfx = (jnp.asarray(t) for t in tabs)
+        nexta, nextb = build_next_tables(jnp.asarray(words), af, present, ib, pfx)
+        next0 = pixel_jump(nexta, nextb)
+        vis_spec, ok = spec_chain_mask(next0, jnp.int32(wbits))
+        assert bool(ok)
+        vis_dbl = np.asarray(chain_mask(next0, 18))
+        p = np.arange(vis_dbl.shape[0])
+        want = vis_dbl & (p < wbits)
+        np.testing.assert_array_equal(np.asarray(vis_spec), want)
+
+
 def test_fallback_on_garbage_is_clean():
     """A corrupted payload must either decode via the host fallback or raise
     a clean ValueError — never crash or hang (SURVEY A.8.4 anti-goal)."""
