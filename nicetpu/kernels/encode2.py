@@ -99,16 +99,20 @@ def tokenize_compact(imgs_flat, *, width: int, ndigits_cap: int):
     return bins, stats
 
 
-def _cumsum_matmul(x: jnp.ndarray) -> jnp.ndarray:
+def _cumsum_matmul(x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Exact inclusive cumsum along axis -1 via per-block triangular matmul
     (MXU) + small cross-block int32 scan.  x: (..., L) int32 with L % 512 == 0
     and per-block sums < 2^24 (aob <= 31 per element guarantees it).
+
+    dtype: matmul input dtype.  bfloat16 is exact only for element values
+    <= 256; pass float32 when elements can exceed that (e.g. per-GROUP bit
+    counts in the grouped fold, up to 32*capw).
     """
     K = 512
     lead = x.shape[:-1]
     L = x.shape[-1]
-    blocks = x.reshape(*lead, L // K, K).astype(jnp.bfloat16)
-    tri = jnp.tril(jnp.ones((K, K), jnp.bfloat16))
+    blocks = x.reshape(*lead, L // K, K).astype(dtype)
+    tri = jnp.tril(jnp.ones((K, K), dtype))
     inner = jax.lax.dot_general(
         blocks,
         tri,
@@ -215,6 +219,123 @@ def _fold_place(aob2, code2, *, w_cap: int, scatter_words: int = FOLD_SCATTER_WO
     words = jnp.zeros(w_cap, dtype=jnp.uint32)
     for j in range(scatter_words):
         words = words.at[w + j].add(sh[j], mode="drop")
+    return words, total_bits, overflow
+
+
+def _fold_pixel_records(aob2, code2, capw: int):
+    """Per-pixel left-aligned bit records from per-slot (aob, code).
+
+    aob2/code2: (N, S).  Builds only `capw` record words (contents beyond
+    32*capw bits are dropped — the caller's overflow check catches it).
+    Returns (rec: list of capw (N,) uint32 words, kbits (N,) int32)."""
+    N, S = aob2.shape
+    rec = [jnp.zeros(N, jnp.uint32) for _ in range(capw)]
+    cum = jnp.zeros(N, jnp.int32)
+    for s in range(S):
+        L = aob2[:, s]
+        cd = code2[:, s]
+        sw = cum >> 5
+        sb = cum & 31
+        fits = sb + L <= 32
+        k = jnp.where(fits, 0, sb + L - 32)
+        shift_hi = jnp.clip(jnp.where(fits, 32 - sb - L, k), 0, 31).astype(jnp.uint32)
+        hi = jnp.where(fits, cd << shift_hi, cd >> shift_hi)
+        mask_k = (jnp.uint32(1) << k.astype(jnp.uint32)) - jnp.uint32(1)
+        shift_lo = jnp.clip(32 - k, 0, 31).astype(jnp.uint32)
+        lo = jnp.where(fits, jnp.uint32(0), (cd & mask_k) << shift_lo)
+        for j in range(min(capw, s + 2)):  # cum <= 31*s => sw <= s, lo at sw+1
+            rec[j] = (
+                rec[j]
+                | jnp.where(sw == j, hi, jnp.uint32(0))
+                | jnp.where(sw == j - 1, lo, jnp.uint32(0))
+            )
+        cum = cum + L
+    return rec, cum
+
+
+def _combine_records(recA, kA, recB, capw_out: int):
+    """Concatenate bit records: out = A ++ (B >> kA), all element-wise.
+
+    recA/recB: lists of (M,) uint32 words (left-aligned records); kA: (M,)
+    int32 bit lengths of A (kA <= 32*len(recA)).  B words are funnel-shifted
+    by kA and OR-merged; B content beyond 32*capw_out bits is dropped (the
+    caller's overflow check catches it).  Returns list of capw_out words."""
+    q = kA >> 5
+    r = (kA & 31).astype(jnp.uint32)
+    r_nz = r > 0
+    nA, nB = len(recA), len(recB)
+    zero = jnp.zeros_like(recB[0])
+    out = []
+    for j in range(capw_out):
+        acc = recA[j] if j < nA else zero
+        for qq in range(min(j, nA) + 1):
+            hi_i = j - qq
+            contrib = zero
+            if hi_i < nB:
+                contrib = recB[hi_i] >> r
+            if 0 <= hi_i - 1 < nB:
+                contrib = contrib | jnp.where(
+                    r_nz, recB[hi_i - 1] << (jnp.uint32(32) - r), jnp.uint32(0)
+                )
+            acc = acc | jnp.where(q == qq, contrib, jnp.uint32(0))
+        out.append(acc)
+    return out
+
+
+# Grouped-fold capacity ladder: per-pixel 96 bits, pair 192, quad 256,
+# oct 320.  Each level's cap trades scatter volume against fallback risk:
+# the final scatter is (caps[-1]+1) words per 8 PIXELS (1.375 updates/pixel
+# vs 4/pixel for the per-pixel fold — scatter is ~3/4 of the whole fused
+# dispatch on TPU, see ARCHITECTURE cost model).  320 bits/oct = 40 bits
+# avg/pixel; RGB-heavy noise runs ~33 bits/pixel, so real images fit.
+GROUP_CAPS = (3, 6, 8, 10)
+GROUP = 1 << (len(GROUP_CAPS) - 1)
+
+
+def _fold_place_grouped(aob2, code2, *, w_cap: int, caps=GROUP_CAPS):
+    """Hierarchical group fold + (caps[-1]+1)-word scatter (one image).
+
+    Folds 2^(len(caps)-1) consecutive pixels into one left-aligned bit
+    record by pairwise funnel-shift merges, then scatters each group record
+    at its exclusive-scan bit offset.  Byte-identical to `_fold_place`
+    whenever neither path overflows; groups exceeding a level cap set the
+    overflow flag (caller falls back to an exact path)."""
+    N, S = aob2.shape
+    G = 1 << (len(caps) - 1)
+    pad = (-N) % G
+    if pad:
+        aob2 = jnp.pad(aob2, ((0, pad), (0, 0)))
+        code2 = jnp.pad(code2, ((0, pad), (0, 0)))
+    rec, k = _fold_pixel_records(aob2, code2, caps[0])
+    ovf = k > 32 * caps[0]
+    for capw in caps[1:]:
+        recA = [w[0::2] for w in rec]
+        recB = [w[1::2] for w in rec]
+        kA, kB = k[0::2], k[1::2]
+        rec = _combine_records(recA, kA, recB, capw)
+        k = kA + kB
+        ovf = ovf[0::2] | ovf[1::2] | (k > 32 * capw)
+    overflow = jnp.any(ovf)
+
+    M = k.shape[0]
+    padk = (-M) % 512
+    kpad = jnp.pad(k, (0, padk))
+    # float32 matmul: group bit counts exceed bfloat16's exact-int range
+    incl = _cumsum_matmul(kpad, dtype=jnp.float32)
+    total_bits = incl[M - 1]
+    offs = incl[:M] - k
+
+    w = (offs >> 5).astype(jnp.int32)
+    r = (offs & 31).astype(jnp.uint32)
+    r_nz = r > 0
+    words = jnp.zeros(w_cap, dtype=jnp.uint32)
+    capw = caps[-1]
+    for j in range(capw + 1):
+        cur = rec[j] if j < capw else jnp.zeros(M, jnp.uint32)
+        prev = rec[j - 1] if 0 < j <= capw else jnp.zeros(M, jnp.uint32)
+        val = cur >> r
+        val = val | jnp.where(r_nz, prev << (jnp.uint32(32) - r), jnp.uint32(0))
+        words = words.at[w + j].add(val, mode="drop")
     return words, total_bits, overflow
 
 
@@ -374,10 +495,11 @@ def encode_fused(imgs_flat, *, width: int, ndigits_cap: int, w_cap: int):
     slots = M // imgs_flat.shape[1]
     aob2 = aob.reshape(B, M // slots, slots)
     code2 = code.reshape(B, M // slots, slots)
-    # 4 scatter words -> 96-bit pixel records: covers RGB-mode pixels whose
-    # three residual codes are long (prefix + 3x31 bits can exceed 64).
+    # Grouped fold: 8 pixels per scattered record (11 updates / 8 pixels vs
+    # 4/pixel — the scatter was ~3/4 of the whole dispatch).  96-bit pixel
+    # cap covers RGB-mode pixels whose three residual codes are long.
     words, totals, fold_ovf = jax.vmap(
-        partial(_fold_place, w_cap=w_cap, scatter_words=4)
+        partial(_fold_place_grouped, w_cap=w_cap)
     )(aob2, code2)
 
     cap_ovf = totals > jnp.int32(32 * (w_cap - 2))

@@ -89,6 +89,60 @@ class TestMergePack:
             assert got == bytes(acc)
 
 
+class TestGroupedFold:
+    """Grouped bit placement (encode2._fold_place_grouped) must be
+    bit-identical to the per-slot exact path whenever it does not overflow,
+    and the fused encode built on it must stay byte-identical to the spec."""
+
+    def test_matches_slot_place(self):
+        import jax
+        import jax.numpy as jnp
+
+        from nicetpu.kernels.encode2 import _fold_place_grouped, _place
+
+        rng = np.random.default_rng(31)
+        for N, S in ((512, 8), (1000, 8), (64, 13)):
+            aob = rng.integers(0, 12, (N, S)).astype(np.int32)
+            aob[rng.random((N, S)) < 0.5] = 0
+            code = np.array(
+                [[rng.integers(0, 1 << a) if a else 0 for a in row] for row in aob],
+                dtype=np.uint32,
+            )
+            w_cap = int(aob.sum()) // 32 + 8
+            words_g, total_g, ovf = _fold_place_grouped(
+                jnp.asarray(aob), jnp.asarray(code), w_cap=w_cap
+            )
+            assert not bool(ovf)
+            words_s, total_s = _place(
+                jnp.asarray(aob.reshape(-1)), jnp.asarray(code.reshape(-1)), w_cap=w_cap
+            )
+            assert int(total_g) == int(total_s)
+            np.testing.assert_array_equal(np.asarray(words_g), np.asarray(words_s))
+
+    def test_overflow_flag_on_dense_groups(self):
+        import jax.numpy as jnp
+
+        from nicetpu.kernels.encode2 import GROUP_CAPS, _fold_place_grouped
+
+        N, S = 64, 8
+        aob = np.full((N, S), 31, np.int32)  # 248 bits/pixel >> every cap
+        code = np.zeros((N, S), np.uint32)
+        _, _, ovf = _fold_place_grouped(
+            jnp.asarray(aob), jnp.asarray(code), w_cap=1024
+        )
+        assert bool(ovf)
+
+    def test_fused_encode_byte_identical(self):
+        # _encode_batch_fused (not the retrying wrapper): real errors must
+        # surface, not silently fall back to the native encoder
+        from nicetpu.pipeline import _encode_batch_fused
+
+        imgs = [im for im in _images(seed=32, count=6) if im.shape[0] * im.shape[1] >= 8]
+        for img in imgs:
+            got = _encode_batch_fused([img])[0]
+            assert got == codec.encode(img)
+
+
 class TestSharded:
     def test_sharded_encode_matches_spec(self):
         from nicetpu.dist.sharded import encode_sharded, make_mesh
