@@ -1,0 +1,860 @@
+"""TPU-native `.nice` decode v3: Pallas lane-parallel speculative walk.
+
+Parallel reformulation of the reference's strictly serial decoder (ref
+code.rs:573-684 reconstruction, hfe.rs:206-222 symbol decode,
+bitreader.rs:78-100 bit peek), re-architected from the v2 design after
+on-chip profiling showed XLA gathers cost ~8 ns/element at ANY table size
+while VPU element-wise ops cost ~1.8 ps/element-op — one gather is worth
+~5000 predicated selects.  v2 spent 9.2 s/batch in gather-bound phases; v3
+does the entire entropy walk gather-free:
+
+1. **Pallas chunked walk** (`_walk_kernel`): the payload is cut into
+   CHUNK_BITS-bit chunks; 1024 chunks ride the VPU as an (8, 128) vector,
+   each lane walking its chunk group-by-group (prefix -> payload slots ->
+   next group, ref code.rs:576-651).  Words are fetched from a per-chunk
+   VMEM block with a two-level one-hot select (no gathers); canonical
+   lengths/indices come from threshold compares against the per-image
+   first-code tables (ref hfe.rs:206-222 vectorized).  Chunk entries are
+   speculative (self-synchronizing Huffman, gap-array technique from the
+   GPU Huffman literature, PAPERS.md): round 1 walks from chunk starts,
+   round 2 re-walks from round-1 exits anchored at bit 0; if round-2 exits
+   reproduce their entries, induction from the anchor proves every entry
+   true.  Any inconsistency (corrupt stream, self-sync miss, step budget
+   exhausted) clears `ok` and the caller falls back to the host decoder —
+   correctness never rests on the heuristic.
+
+2. **Slot-space assembly** (pure element-wise + cumsums): the walk's
+   records (chunk-major, step-major = serial token order) yield run values
+   via digit-ordinal arithmetic and pixel start positions via ONE cumsum of
+   per-slot coverage — no compaction pass, no visited bitmask.
+
+3. **MXU one-hot symbol join** (`pallas_ops.value_join_pallas`): canonical
+   index -> symbol through the per-image (length asc, symbol asc) order
+   tables at ~0.24 ns/lookup.
+
+4. **One packed-int32 placement scatter** per slot (form + ref-index +
+   3 delta bytes in 31 bits), then the v2 gather-free segment-LUT row
+   reconstruction (`decode_dev.reconstruct_rows`) unchanged.
+
+On a CPU backend the walk runs as an equivalent jnp scan (`walk_ref`),
+which is also the cross-test oracle for the Pallas kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nicetpu.format import constants as C
+from nicetpu.kernels.decode_dev import (
+    F_ADD1,
+    F_CONST,
+    F_HALF,
+    NPAYLOAD,
+    SLOT_STREAM,
+    _const_offsets,
+    _sel,
+    reconstruct_rows,
+    reconstruct_serial,
+)
+
+# ---------------------------------------------------------------------------
+# Walk geometry
+# ---------------------------------------------------------------------------
+# Chunk size is a self-synchronization safety margin: near-fixed-length
+# streams (uniform noise -> almost fixed 25-bit RGB groups) realign slowly;
+# measured sync-failure rates per chunk on a pure-noise stream were 26% at
+# 1024 bits, 11% at 2048, 0/18 at 4096.  Every failure is caught by the
+# consistency gate (host fallback), so 4096 buys throughput, not correctness.
+CHUNK_BITS = 4096
+STEPS_DIV = 3  # robust step budget divisor (min real group ~3 bits)
+# Retry ladder for the batch decoder: (steps_div, rounds) configs tried in
+# order.  The fast config covers photographic content (avg group ~8-25 bits,
+# one propagation round); the robust config covers dense short-group regions
+# and slow self-sync.  Images still failing fall back to the host decoder.
+LADDER = ((8, 2), (3, 3))
+CPB = 1024  # chunks per kernel invocation, as an (8, 128) vector
+SBLK = 64  # walk steps per grid block (scratch carries position across)
+MAX_GROUP_BITS = 5 * C.MAX_CODE_LEN  # prefix + <= 4 payload codes
+MAXL_BUCKETS = (8, 12, 16, 24, 31)
+# Streams with tiny alphabets have provably short codes: lengths < alphabet.
+MAXL_SMALL = 12  # covers SC_PREFIXES (13), SC_LUMA_BACK_REF / SC_BACK_REF (11)
+_SMALL_STREAMS = frozenset(
+    s for s in range(C.NUM_STREAMS) if C.ALPHABET_SIZES[s] <= MAXL_SMALL + 1
+)
+
+_MSB = -0x80000000  # int32 sign bit (Python int: safe to close over in Pallas)
+
+
+def _wrows(chunk_bits: int) -> int:
+    return chunk_bits // 32 + 8
+
+
+WROWS = _wrows(CHUNK_BITS)
+
+
+def _uge(a, b):
+    """Unsigned >= on uint32 values carried as int32 (bias compare)."""
+    return (a ^ _MSB) >= (b ^ _MSB)
+
+
+def _steps(chunk_bits: int, steps_div: int = STEPS_DIV) -> int:
+    return -(-(chunk_bits // steps_div) // SBLK) * SBLK
+
+
+def pick_maxl(max_len: int) -> int:
+    for b in MAXL_BUCKETS:
+        if max_len <= b:
+            return b
+    return C.MAX_CODE_LEN
+
+
+# ---------------------------------------------------------------------------
+# Shared group-decode math (used by the jnp reference AND the Pallas kernel;
+# only the window fetch differs).  All windows are uint32 carried as int32.
+# ---------------------------------------------------------------------------
+
+
+def _stream_maxl(s: int, maxl: int) -> int:
+    return min(maxl, MAXL_SMALL) if s in _SMALL_STREAMS else maxl
+
+
+def _canon_decode(win, s, tget, maxl):
+    """(L, idx) of the canonical codeword at a window for stream s.
+
+    One fused pass: L = max{l : present[l] and first_code[l] <= win}
+    (left-aligned first codes increase over present lengths), tracking
+    af[L]/ib[L] alongside, then idx = ib[L] + ((win - af[L]) >> (32 - L)).
+    Valid (Kraft-complete, host-validated) tables give L >= 1 always."""
+    L = jnp.zeros_like(win)
+    afL = jnp.zeros_like(win)
+    ibL = jnp.zeros_like(win)
+    for l in range(1, _stream_maxl(s, maxl) + 1):
+        af_l = tget("af", s, l)
+        hit = _uge(win, af_l) & (tget("present", s, l) != 0)
+        L = jnp.where(hit, l, L)
+        afL = jnp.where(hit, af_l, afL)
+        ibL = jnp.where(hit, tget("ib", s, l), ibL)
+    idx = ibL + jax.lax.shift_right_logical(win - afL, 32 - L)
+    return L, idx
+
+
+def _decode_group(p, win_at, tget, pfx_get, maxl):
+    """One pixel-group decode at bit position p (ref code.rs:576-651 +
+    hfe.rs:206-222, vectorized over lanes).
+
+    win_at(q) -> int32 window (bits q..q+31, MSB-first, uint32 as int32);
+    tget(table, s, l) -> scalar table value for stream s, length l
+      (table in {"af", "present", "ib"});
+    pfx_get(j) -> prefix-stream canonical-order symbol j.
+
+    Returns (sym, idx1..idx4, q_next).  For run digits (sym >= 5) the
+    payload indices are 0 and q_next = p + prefix length.  Payload slots
+    decode per MODE with static stream ids (per-stream maxl bounds), then
+    select by the decoded mode — cheaper than blending tables per length."""
+    sp = C.SC_PREFIXES
+    win0 = win_at(p)
+    L0, idx0 = _canon_decode(win0, sp, tget, maxl)
+    sym = jnp.zeros_like(idx0)
+    for j in range(C.ALPHABET_SIZES[sp]):
+        sym = jnp.where(idx0 == j, pfx_get(j), sym)
+
+    q = p + L0
+    idxs = []
+    for k in range(C.MODE_PAYLOAD_SLOTS):
+        modes = [m for m in range(5) if SLOT_STREAM[m][k] >= 0]
+        streams = sorted({SLOT_STREAM[m][k] for m in modes})
+        win = win_at(q)
+        per_stream = {s: _canon_decode(win, s, tget, maxl) for s in streams}
+        Lk = jnp.zeros_like(sym)
+        idxk = jnp.zeros_like(sym)
+        has = jnp.zeros_like(sym, dtype=jnp.bool_)
+        for m in modes:
+            Ls, idxs_s = per_stream[SLOT_STREAM[m][k]]
+            is_m = sym == m
+            Lk = jnp.where(is_m, Ls, Lk)
+            idxk = jnp.where(is_m, idxs_s, idxk)
+            has = has | is_m
+        idxs.append(jnp.where(has, idxk, 0))
+        q = q + jnp.where(has, Lk, 0)
+    return sym, idxs, q
+
+
+# ---------------------------------------------------------------------------
+# jnp reference walk (CPU backend + Pallas cross-test oracle)
+# ---------------------------------------------------------------------------
+
+
+def walk_ref(words, entries, af, present, ib, pfx_sorted, wbits, *, chunk_bits, steps, maxl):
+    """Chunked walk, one image.  words (Wn,) uint32; entries (nch,) int32
+    absolute bit positions.  Returns (pos, sym, idx12, idx34) each
+    (nch, steps) int32 (pos = -1 where frozen/dead) and exits (nch,)."""
+    nch = entries.shape[0]
+    wi = words.astype(jnp.int32)
+    bound = (jnp.arange(nch, dtype=jnp.int32) + 1) * chunk_bits
+
+    def win_at(q):
+        w = q >> 5
+        sh = (q & 31).astype(jnp.uint32)
+        w0 = wi[jnp.minimum(w, wi.shape[0] - 1)]
+        w1 = wi[jnp.minimum(w + 1, wi.shape[0] - 1)]
+        lo = jnp.where(
+            sh == 0,
+            jnp.int32(0),
+            jax.lax.shift_right_logical(w1, (jnp.uint32(32) - sh).astype(jnp.int32)),
+        )
+        return (w0 << sh.astype(jnp.int32)) | lo
+
+    def tget(table, s, l):
+        return {"af": af, "present": present, "ib": ib}[table][s, l]
+
+    def pfx_get(j):
+        return pfx_sorted[j]
+
+    def step(p, _):
+        alive = (p < bound) & (p < wbits)
+        sym, idxs, q = _decode_group(p, win_at, tget, pfx_get, maxl)
+        p_new = jnp.where(alive, jnp.maximum(p + 1, q), p)
+        rec_pos = jnp.where(alive, p, -1)
+        rec_sym = jnp.where(alive, sym, 0)
+        i12 = jnp.where(alive, idxs[0] | (idxs[1] << 16), 0)
+        i34 = jnp.where(alive, idxs[2] | (idxs[3] << 16), 0)
+        return p_new, (rec_pos, rec_sym, i12, i34)
+
+    exits, (pos, sym, i12, i34) = jax.lax.scan(step, entries, None, length=steps)
+    return (
+        jnp.swapaxes(pos, 0, 1),
+        jnp.swapaxes(sym, 0, 1),
+        jnp.swapaxes(i12, 0, 1),
+        jnp.swapaxes(i34, 0, 1),
+        exits,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas walk kernel
+# ---------------------------------------------------------------------------
+
+
+def _walk_kernel(
+    wbits_ref,  # (B,) int32 scalar-prefetch (whole array, indexed by image)
+    entries_ref,  # (1, 1, 8, 128) int32
+    wblk_ref,  # (1, 1, WROWS, 8, 128) int32 (uint32 words)
+    af_ref,  # (1, 10, 32) int32
+    present_ref,  # (1, 10, 32) int32
+    ib_ref,  # (1, 10, 32) int32
+    pfx_ref,  # (1, 1, 16) int32
+    pos_out,  # (1, 1, 1, SBLK, 8, 128) int32
+    sym_out,
+    i12_out,
+    i34_out,
+    exit_out,  # (1, 1, 8, 128) int32
+    p_scr,  # (8, 128) int32 scratch
+    *,
+    chunk_bits: int,
+    maxl: int,
+    wrows: int,
+):
+    kb = pl.program_id(1)
+    sb = pl.program_id(2)
+
+    @pl.when(sb == 0)
+    def _():
+        p_scr[:] = entries_ref[0, 0]
+
+    wbits = wbits_ref[pl.program_id(0)]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    chunk_id = kb * CPB + sub * 128 + lane
+    base_bit = chunk_id * chunk_bits
+    bound = base_bit + chunk_bits
+
+    wblk = wblk_ref[0, 0]  # (WROWS, 8, 128)
+
+    def tget(table, s, l):
+        ref = {"af": af_ref, "present": present_ref, "ib": ib_ref}[table]
+        return ref[0, s, l]
+
+    def pfx_get(j):
+        return pfx_ref[0, 0, j]
+
+    def body(i, p):
+        alive = (p < bound) & (p < wbits)
+        rel = jnp.maximum(p - base_bit, 0)
+        w = rel >> 5  # 0 .. WROWS-2
+        # Two-level one-hot fetch of 8 consecutive words w .. w+7 (gather-free:
+        # select the 8-row group containing w and its successor, then pick
+        # ws[j] = word lo+j from the 15 candidates).
+        hi = w >> 3
+        lo = w & 7
+        ngrp = wrows // 8
+        g0 = [jnp.zeros((8, 128), jnp.int32) for _ in range(8)]
+        g1 = [jnp.zeros((8, 128), jnp.int32) for _ in range(8)]
+        for g in range(ngrp):
+            m0 = hi == g
+            for r in range(8):
+                row = wblk[8 * g + r]
+                g0[r] = jnp.where(m0, row, g0[r])
+                if g >= 1:
+                    g1[r] = jnp.where(hi == g - 1, row, g1[r])
+        ws = []
+        for j in range(8):
+            v = jnp.zeros((8, 128), jnp.int32)
+            for t in range(15):  # lo + j = t -> word index t within [G0, G1]
+                src = g0[t] if t < 8 else g1[t - 8]
+                v = jnp.where(lo + j == t, src, v)
+            ws.append(v)
+
+        def win_at(q):
+            d = jnp.maximum(q - base_bit, 0) - (w << 5)  # bit offset from word w
+            dw = d >> 5  # 0..6
+            sh = (d & 31)
+            w0 = jnp.zeros((8, 128), jnp.int32)
+            w1 = jnp.zeros((8, 128), jnp.int32)
+            for j in range(7):
+                w0 = jnp.where(dw == j, ws[j], w0)
+                w1 = jnp.where(dw == j, ws[j + 1], w1)
+            lo32 = jnp.where(
+                sh == 0,
+                jnp.int32(0),
+                jax.lax.shift_right_logical(w1, 32 - sh),
+            )
+            return (w0 << sh) | lo32
+
+        sym, idxs, q = _decode_group(p, win_at, tget, pfx_get, maxl)
+        p_new = jnp.where(alive, jnp.maximum(p + 1, q), p)
+        pos_out[0, 0, 0, i] = jnp.where(alive, p, -1)
+        sym_out[0, 0, 0, i] = jnp.where(alive, sym, 0)
+        i12_out[0, 0, 0, i] = jnp.where(alive, idxs[0] | (idxs[1] << 16), 0)
+        i34_out[0, 0, 0, i] = jnp.where(alive, idxs[2] | (idxs[3] << 16), 0)
+        return p_new
+
+    p = jax.lax.fori_loop(0, SBLK, body, p_scr[:])
+    p_scr[:] = p
+    exit_out[0, 0] = p
+
+
+try:  # Pallas imports fail cleanly on backends without TPU support
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def walk_pallas(words_blk, entries, af, present, ib, pfx_sorted, wbits, *, chunk_bits, steps, maxl):
+    """Batched Pallas walk.  words_blk (B, KB, WROWS, 8, 128) int32;
+    entries (B, KB, 8, 128) int32; af/present/ib (B, 10, 32) int32;
+    pfx_sorted (B, 1, 16) int32; wbits (B,) int32 (scalar-prefetched).
+    Returns pos/sym/i12/i34 (B, KB, SB, SBLK, 8, 128) and exits (B, KB, 8, 128)."""
+    B, KB = entries.shape[:2]
+    SB = steps // SBLK
+    rec_shape = (B, KB, SB, SBLK, 8, 128)
+    wrows = _wrows(chunk_bits)
+    kern = partial(_walk_kernel, chunk_bits=chunk_bits, maxl=maxl, wrows=wrows)
+    rec_spec = pl.BlockSpec(
+        (1, 1, 1, SBLK, 8, 128), lambda b, kb, sb, *_: (b, kb, sb, 0, 0, 0)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # wbits (B,) readable whole in every step
+        grid=(B, KB, SB),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, 128), lambda b, kb, sb, *_: (b, kb, 0, 0)),
+            pl.BlockSpec((1, 1, wrows, 8, 128), lambda b, kb, sb, *_: (b, kb, 0, 0, 0)),
+            pl.BlockSpec((1, 10, 32), lambda b, kb, sb, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 10, 32), lambda b, kb, sb, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 10, 32), lambda b, kb, sb, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 16), lambda b, kb, sb, *_: (b, 0, 0)),
+        ],
+        out_specs=(
+            rec_spec,
+            rec_spec,
+            rec_spec,
+            rec_spec,
+            pl.BlockSpec((1, 1, 8, 128), lambda b, kb, sb, *_: (b, kb, 0, 0)),
+        ),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(rec_shape, jnp.int32),
+            jax.ShapeDtypeStruct(rec_shape, jnp.int32),
+            jax.ShapeDtypeStruct(rec_shape, jnp.int32),
+            jax.ShapeDtypeStruct(rec_shape, jnp.int32),
+            jax.ShapeDtypeStruct((B, KB, 8, 128), jnp.int32),
+        ),
+    )(wbits, entries, words_blk, af, present, ib, pfx_sorted)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# Block layout helpers (all element-wise)
+# ---------------------------------------------------------------------------
+
+
+def make_word_blocks(words, nch_pad: int, chunk_bits: int):
+    """(B, Wn) uint32-as-int32 -> (B, KB, WROWS, 8, 128) per-chunk word blocks.
+
+    Word r of chunk c = words[c * chunk_bits/32 + r]; Wn must be >=
+    nch_pad * chunk_bits/32 + WROWS."""
+    B = words.shape[0]
+    wpc = chunk_bits // 32
+    wrows = _wrows(chunk_bits)
+    KB = nch_pad // CPB
+    base = words[:, : nch_pad * wpc].reshape(B, nch_pad, wpc)
+    nxt = jnp.concatenate(
+        [base[:, 1:], jnp.zeros((B, 1, wpc), words.dtype)], axis=1
+    )
+    extra = wrows - wpc
+    if extra <= wpc:
+        look = nxt[:, :, :extra]
+    else:  # chunk_bits < 256 never used; guard anyway
+        raise ValueError("word-block lookahead exceeds one chunk")
+    blk = jnp.concatenate([base, look], axis=2)  # (B, nch_pad, wrows)
+    blk = blk.reshape(B, KB, 8, 128, wrows)
+    return jnp.transpose(blk, (0, 1, 4, 2, 3))
+
+
+def flatten_records(rec):
+    """(B, KB, SB, SBLK, 8, 128) -> (B, S) in serial slot order."""
+    B, KB, SB, SB2, _, _ = rec.shape
+    r = jnp.transpose(rec, (0, 1, 4, 5, 2, 3))  # (B, KB, 8, 128, SB, SBLK)
+    return r.reshape(B, KB * CPB * SB * SB2)
+
+
+def chunk_layout(x_flat, KB):
+    """(B, nch_pad) chunk-indexed -> (B, KB, 8, 128) kernel layout."""
+    B = x_flat.shape[0]
+    return x_flat.reshape(B, KB, 8, 128)
+
+
+def chunk_unlayout(x):
+    B, KB = x.shape[:2]
+    return x.reshape(B, KB * CPB)
+
+
+# ---------------------------------------------------------------------------
+# Assembly: walk records -> packed placement records (all element-wise)
+# ---------------------------------------------------------------------------
+
+REC_DEFAULT = F_ADD1  # form=ADD1, ref 0, deltas 0: the run-covered transfer
+
+
+def _ref_index_table(width: int):
+    """Static maps: payload symbol -> (lag 1..3 | 0) and (ref-index | 0)."""
+    offs = _const_offsets(width)
+    br = C.back_ref_offsets(width)
+    lu = C.luma_ref_offsets(width)
+
+    def split(tbl):
+        lag, refi = [], []
+        for o in tbl:
+            if 1 <= o <= 3:
+                lag.append(o)
+                refi.append(0)
+            else:
+                lag.append(0)
+                refi.append(offs.index(o) + 1)
+        return tuple(lag), tuple(refi)
+
+    return split(br), split(lu), offs
+
+
+def assemble_v3(pos, sym, p1, p2, p3, p4, n_pixels: int, width: int, wbits):
+    """Slot records (serial order) -> (rec (B,S) int32, dst (B,S), ok (B,)).
+
+    pos/sym: (B, S); p1..p4: payload SYMBOLS (post-join).  Implements the
+    decoder state machine of ref code.rs:573-684 in slot space: run values
+    via digit ordinals (ref code.rs:661-680), pixel starts via one coverage
+    cumsum, transfer forms per mode (ref code.rs:576-651)."""
+    N, W = n_pixels, width
+    valid = (pos >= 0) & (pos < wbits[:, None])
+    is_pfx = valid & (sym < C.PREFIX_RUN_BASE)
+    is_dig = valid & (sym >= C.PREFIX_RUN_BASE)
+
+    cd = jnp.cumsum(is_dig.astype(jnp.int32), axis=1)
+    cd_base = jax.lax.cummax(jnp.where(is_pfx, cd, -1), axis=1)
+    kk = cd - cd_base - 1
+    dig_ok = is_dig & (cd_base >= 0) & (kk >= 0) & (kk < C.MAX_RUN_DIGITS)
+    kcl = jnp.clip(kk, 0, C.MAX_RUN_DIGITS - 1)
+    dv = sym - C.PREFIX_RUN_BASE
+    dv = jnp.where(kcl == C.MAX_RUN_DIGITS - 1, jnp.minimum(dv, 1), dv)
+    cov = (
+        is_pfx.astype(jnp.int32)
+        + jnp.where(dig_ok, (dv << (3 * kcl)) + (kk == 0), 0)
+    )
+    # Clamp per-slot coverage to N: keeps the int32 cumsum overflow-free on
+    # adversarial digit chains (legit coverage <= N per pixel by definition).
+    cov = jnp.minimum(cov, N)
+    incl = jnp.cumsum(cov, axis=1)
+    start = incl - cov
+    real = is_pfx & (start < N)
+    # coverage must tile [0, N) exactly: cumsum construction is gapless, so
+    # the only failure is total < N (truncated walk / corrupt stream)
+    ok_cov = incl[:, -1] >= N
+
+    mode = jnp.where(is_pfx, sym, 0)
+    is_br = mode == C.PREFIX_BACK_REF
+    is_rgb = mode == C.PREFIX_RGB
+    is_lu = mode == C.PREFIX_COLOR_LUMA
+    is_sd = mode == C.PREFIX_SMALL_DIFF
+    is_l2 = mode == C.PREFIX_COLOR_LUMA2
+    row0 = start < W
+    pos0 = start == 0
+
+    (br_lag, br_refi), (lu_lag, lu_refi), _ = _ref_index_table(W)
+    lag = jnp.where(is_br, _sel(p1, br_lag), jnp.where(is_lu, _sel(p1, lu_lag), 0))
+    refi = jnp.where(is_br, _sel(p1, br_refi), jnp.where(is_lu, _sel(p1, lu_refi), 0))
+
+    form = jnp.full(mode.shape, F_ADD1, jnp.int32)
+    form = jnp.where(is_br | is_lu, jnp.where(lag > 0, F_CONST + lag, F_CONST), form)
+    form = jnp.where(is_sd | is_rgb, jnp.where(row0, F_ADD1, F_HALF), form)
+    form = jnp.where(is_l2, F_HALF, form)
+    form = jnp.where(is_rgb & pos0, F_CONST, form)
+    refi = jnp.where(lag > 0, 0, refi)
+
+    lg = p2 - 32
+    g2 = p1 - 32
+    sd_r = p1 % 7
+    sd_rem = (p1 - sd_r) // 7
+    sd_g = sd_rem % 7
+    sd_b = (sd_rem - sd_g) // 7
+    dr = jnp.select(
+        [is_br, is_lu, is_l2, is_sd], [0, p3 - 16 + lg, p2 - 16 + g2, sd_r - 3],
+        default=p1,
+    )
+    dg = jnp.select([is_br, is_lu, is_l2, is_sd], [0, lg, g2, sd_g - 3], default=p2)
+    db = jnp.select(
+        [is_br, is_lu, is_l2, is_sd], [0, p4 - 16 + lg, p3 - 16 + g2, sd_b - 3],
+        default=p3,
+    )
+
+    rec = (
+        form
+        | (refi << 3)
+        | ((dr & 255) << 7)
+        | ((dg & 255) << 15)
+        | ((db & 255) << 23)
+    )
+    dst = jnp.where(real, start, N)
+    return rec, dst, ok_cov
+
+
+def place_and_unpack(rec, dst, n_pixels: int, width: int):
+    """Scatter packed records to raster positions; unpack to (form, delta,
+    refoff) for the row reconstruction.  rec/dst: (B, S)."""
+    N, W = n_pixels, width
+    offs = _const_offsets(W)
+
+    def one(rec1, dst1):
+        base = jnp.full(N + 1, REC_DEFAULT, jnp.int32)
+        return base.at[dst1].set(rec1, mode="drop")[:N]
+
+    recN = jax.vmap(one)(rec, dst)
+    form = recN & 7
+    refi = (recN >> 3) & 15
+    delta = jnp.stack(
+        [(recN >> 7) & 255, (recN >> 15) & 255, (recN >> 23) & 255], axis=-1
+    )
+    refoff = _sel(refi, (0,) + tuple(offs))
+    return form, delta, refoff
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
+
+
+def _use_pallas_walk() -> bool:
+    return _HAS_PALLAS and jax.default_backend() not in ("cpu",)
+
+
+def _sym_join(bins, sym_tbl):
+    """Canonical-index bins -> symbols via per-image tables."""
+    if _use_pallas_walk():
+        from nicetpu.kernels.pallas_ops import value_join_pallas
+
+        return value_join_pallas(bins, sym_tbl)
+
+    def one(b, t):
+        live = b < C.TOTAL_SYMBOLS
+        return jnp.where(live, t[jnp.clip(b, 0, C.TOTAL_SYMBOLS - 1)], 0)
+
+    return jax.vmap(one)(bins, sym_tbl)
+
+
+def _payload_bins(sym, i12, i34):
+    """Walk records -> 4 slot-wise flat canonical bins (invalid = padded)."""
+    idx = (i12 & 0xFFFF, i12 >> 16, i34 & 0xFFFF, i34 >> 16)
+    PAD = 1023  # pallas_ops.BINS_PAD - 1
+    bins = []
+    for k in range(C.MODE_PAYLOAD_SLOTS):
+        b = jnp.full(sym.shape, PAD, jnp.int32)
+        for m in range(5):
+            s = SLOT_STREAM[m][k]
+            if s >= 0:
+                b = jnp.where(sym == m, C.STREAM_BASE[s] + idx[k], b)
+        bins.append(b)
+    return bins
+
+
+def _decode_core_v3(
+    words, wbits, af, present, ib, pfx, sym_tbl,
+    *, n_pixels: int, width: int, chunk_bits: int, steps: int, maxl: int,
+    segs: int, rounds: int = 3, serial_recon: bool = False,
+):
+    """Full device decode of a batch.
+
+    words (B, Wn) uint32-as-int32 payload words (Wn >= nch_pad*chunk_bits/32
+    + WROWS, nch_pad a CPB multiple); wbits (B,) int32; af/present/ib
+    (B, 10, 32) int32; pfx (B, 1, 16) int32; sym_tbl (B, 858) int32.
+    Returns (out (B, N, 3) uint8, ok (B,))."""
+    B, Wn = words.shape
+    wpc = chunk_bits // 32
+    nch_pad = (Wn - _wrows(chunk_bits)) // wpc
+    KB = nch_pad // CPB
+    entries0 = chunk_layout(
+        jnp.broadcast_to(
+            jnp.arange(nch_pad, dtype=jnp.int32)[None, :] * chunk_bits, (B, nch_pad)
+        ),
+        KB,
+    )
+
+    if _use_pallas_walk():
+        words_blk = make_word_blocks(words, nch_pad, chunk_bits)
+        walk = lambda e: walk_pallas(
+            words_blk, e, af, present, ib, pfx, wbits,
+            chunk_bits=chunk_bits, steps=steps, maxl=maxl,
+        )
+    else:
+
+        def walk(e):
+            ef = chunk_unlayout(e)
+
+            def one(wd, ee, a, pr, i, pf, wb):
+                return walk_ref(
+                    wd, ee, a, pr, i, pf[0], wb,
+                    chunk_bits=chunk_bits, steps=steps, maxl=maxl,
+                )
+
+            pos, sym, i12, i34, exits = jax.vmap(one)(
+                words, ef, af, present, ib, pfx, wbits
+            )
+            SB = steps // SBLK
+            resh = lambda r: jnp.transpose(
+                r.reshape(B, KB, 8, 128, SB, SBLK), (0, 1, 4, 5, 2, 3)
+            )
+            return resh(pos), resh(sym), resh(i12), resh(i34), chunk_layout(exits, KB)
+
+    # round 1: speculative entries = chunk starts (anchored at bit 0).
+    # Each later round re-walks from the previous exits: entry truth
+    # propagates >= 1 chunk/round past a self-sync miss, so `rounds` walks
+    # tolerate runs of (rounds - 2) consecutive non-syncing chunks.
+    e = entries0
+    for _ in range(rounds - 1):
+        _, _, _, _, exits = walk(e)
+        ex = chunk_unlayout(exits)
+        entries2 = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), ex[:, :-1]], axis=1
+        )
+        e = chunk_layout(entries2, KB)
+    pos_r, sym_r, i12_r, i34_r, exits2 = walk(e)
+    ex2 = chunk_unlayout(exits2)
+
+    # Gate (induction from the bit-0 anchor): every final-round exit that is
+    # still inside the payload must equal the entry the NEXT chunk was given,
+    # and every chunk that actually walked must have crossed its boundary
+    # (not run out of step budget).  Any miss -> ok False -> host fallback.
+    nch = KB * CPB
+    wb = wbits[:, None]
+    starts = jnp.arange(nch, dtype=jnp.int32)[None, :] * chunk_bits
+    bounds = starts + chunk_bits
+    ok_consist = jnp.all(
+        (ex2[:, :-1] == entries2[:, 1:]) | (ex2[:, :-1] >= wb), axis=1
+    )
+    walked = entries2 < wb
+    crossed = ex2 >= jnp.minimum(bounds, wb)
+    ok_cross = jnp.all(crossed | ~walked, axis=1)
+
+    pos = flatten_records(pos_r)
+    sym = flatten_records(sym_r)
+    i12 = flatten_records(i12_r)
+    i34 = flatten_records(i34_r)
+
+    bins = _payload_bins(sym, i12, i34)
+    syms = [_sym_join(b, sym_tbl) for b in bins]
+
+    rec, dst, ok_cov = assemble_v3(
+        pos, sym, syms[0], syms[1], syms[2], syms[3], n_pixels, width, wbits
+    )
+    form, delta, refoff = place_and_unpack(rec, dst, n_pixels, width)
+    if serial_recon:
+        out = jax.vmap(lambda f, d, r: reconstruct_serial(f, d, r, n_pixels, width))(
+            form, delta, refoff
+        )
+    else:
+        out = jax.vmap(
+            lambda f, d, r: reconstruct_rows(f, d, r, n_pixels, width, segs)
+        )(form, delta, refoff)
+    return out.astype(jnp.uint8), ok_consist & ok_cross & ok_cov
+
+
+_STATIC_V3 = ("n_pixels", "width", "chunk_bits", "steps", "maxl", "segs", "rounds", "serial_recon")
+_device_decode_v3 = partial(jax.jit, static_argnames=_STATIC_V3)(_decode_core_v3)
+
+
+# ---------------------------------------------------------------------------
+# Host wrappers
+# ---------------------------------------------------------------------------
+
+
+def prepare_tables_v3(flat_lengths: np.ndarray):
+    """Device tables for one image: (af, present, ib, pfx16, sym_tbl, maxl).
+
+    af/present/ib: (10, 32) int32 (af = first codes left-aligned, as int32
+    bit patterns); pfx16: (1, 16) canonical-order prefix symbols; sym_tbl:
+    (858,) flat canonical-index -> symbol join table."""
+    from nicetpu.format import huffman
+
+    af, present, ib, sorted_flat = huffman.decode_dev_tables(flat_lengths)
+    sp = C.SC_PREFIXES
+    base, size = C.STREAM_BASE[sp], C.ALPHABET_SIZES[sp]
+    lengths = np.asarray(flat_lengths[base : base + size], dtype=np.int64)
+    order = np.lexsort((np.arange(size), lengths))
+    pfx16 = np.zeros((1, 16), np.int32)
+    pfx16[0, :size] = order
+    sym_tbl = np.zeros(C.TOTAL_SYMBOLS, np.int32)
+    for s in range(C.NUM_STREAMS):
+        b, n = C.STREAM_BASE[s], C.ALPHABET_SIZES[s]
+        sym_tbl[b : b + n] = sorted_flat[s, :n]
+    maxl = int(np.asarray(flat_lengths).max())
+    return (
+        af.view(np.int32),
+        present.astype(np.int32),
+        ib.astype(np.int32),
+        pfx16,
+        sym_tbl,
+        maxl,
+    )
+
+
+def _words_cap(max_payload_bytes: int, chunk_bits: int) -> tuple[int, int]:
+    """Bucketed (Wn, nch_pad) so nearby payload sizes share an executable."""
+    wbits_max = max_payload_bytes * 8
+    nch = -(-wbits_max // chunk_bits)
+    nch_pad = max(CPB, -(-nch // CPB) * CPB)
+    Wn = nch_pad * (chunk_bits // 32) + _wrows(chunk_bits)
+    return Wn, nch_pad
+
+
+def _segs_for(width: int) -> int:
+    from nicetpu.kernels.decode_dev import _pick_segs
+
+    return _pick_segs(width)
+
+
+def decode_batch_jax_v3(
+    datas: list[bytes],
+    *,
+    chunk_bits: int = CHUNK_BITS,
+    ladder: tuple = LADDER,
+    serial_recon: bool = False,
+    stats: dict | None = None,
+) -> list[np.ndarray]:
+    """Batched TPU-native decode of same-shape `.nice` streams (v3 pipeline).
+
+    Tries each (steps_div, rounds) ladder config in order (fast first); any
+    image the device pipeline cannot verify (`ok` False: corrupt stream,
+    self-sync miss, step-budget truncation) after the last config falls back
+    to the host decoder.  Pass `stats` to receive {"fallbacks": int,
+    "retries": int, "ok": list[bool]} — bench/tests assert no silent
+    fallback on valid streams (VERDICT r2 weak #2)."""
+    from nicetpu.format import headers, huffman
+
+    if not datas:
+        return []
+    shapes = {headers.parse_file_header(d)[:2] for d in datas}
+    if len(shapes) != 1:
+        raise ValueError("decode_batch_jax_v3 requires same-shape streams")
+    W, H = next(iter(shapes))
+    if W < C.MIN_WIDTH:
+        raise ValueError(f"width must be >= {C.MIN_WIDTH}")
+    N = W * H
+
+    tabs, payloads = [], []
+    for d in datas:
+        if headers.parse_file_header(d)[2] != 3:
+            raise ValueError("only channels=3 decode is defined (SURVEY A.8.3)")
+        flat_lengths = headers.parse_stream_headers(d[C.FILE_HEADER_BYTES :])
+        huffman.validate_flat_lengths(flat_lengths)
+        tabs.append(prepare_tables_v3(flat_lengths))
+        payloads.append(d[C.FILE_HEADER_BYTES + C.STREAM_HEADERS_BYTES : len(d) - 4])
+
+    Wn, nch_pad = _words_cap(max(len(p) for p in payloads), chunk_bits)
+    words = np.zeros((len(datas), Wn), dtype=np.uint32)
+    wbits = np.zeros(len(datas), dtype=np.int32)
+    for i, p in enumerate(payloads):
+        src = np.frombuffer(p + b"\0" * ((-len(p)) % 4), dtype=">u4")
+        words[i, : src.shape[0]] = src
+        wbits[i] = len(p) * 8
+
+    maxl = pick_maxl(max(t[5] for t in tabs))
+    args = (
+        jnp.asarray(words.view(np.int32)),
+        jnp.asarray(wbits),
+        jnp.asarray(np.stack([t[0] for t in tabs])),
+        jnp.asarray(np.stack([t[1] for t in tabs])),
+        jnp.asarray(np.stack([t[2] for t in tabs])),
+        jnp.asarray(np.stack([t[3] for t in tabs])),
+        jnp.asarray(np.stack([t[4] for t in tabs])),
+    )
+    out_np = None
+    ok_np = np.zeros(len(datas), bool)
+    retries = 0
+    for steps_div, rounds in ladder:
+        out, ok = _device_decode_v3(
+            *args,
+            n_pixels=N,
+            width=W,
+            chunk_bits=chunk_bits,
+            steps=_steps(chunk_bits, steps_div),
+            maxl=maxl,
+            segs=_segs_for(W),
+            rounds=rounds,
+            serial_recon=serial_recon,
+        )
+        ok_new = np.asarray(ok)
+        out_new = np.asarray(out)
+        if out_np is None:
+            out_np, ok_np = out_new, ok_new
+        else:
+            upd = ok_new & ~ok_np
+            out_np[upd] = out_new[upd]
+            ok_np |= ok_new
+        if ok_np.all():
+            break
+        retries += 1
+    if stats is not None:
+        stats["fallbacks"] = int((~ok_np).sum())
+        stats["retries"] = retries
+        stats["ok"] = [bool(x) for x in ok_np]
+    result = []
+    for i, d in enumerate(datas):
+        if bool(ok_np[i]):
+            result.append(out_np[i].reshape(H, W, 3))
+        else:
+            from nicetpu.spec import codec
+
+            result.append(codec.decode(d))
+    return result
+
+
+def decode_jax_v3(data: bytes, **kw) -> np.ndarray:
+    """TPU-native `.nice` decode (v3): bytes -> (H, W, 3) uint8."""
+    return decode_batch_jax_v3([data], **kw)[0]

@@ -154,6 +154,75 @@ def _join_kernel(bins_ref, table_ref, aob_ref, code_ref):
     code_ref[:] = jnp.concatenate(code_rows, axis=0)
 
 
+def _value_join_kernel(bins_ref, table_ref, val_ref):
+    chunk = bins_ref[:]  # (BLOCK_ROWS, 128) int32
+    hi = chunk >> 7
+    lo = chunk & 127
+    ids_hi = jax.lax.broadcasted_iota(jnp.int32, (HI, 128), 0)
+    ids_lo = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    table = table_ref[:]  # (2*HI, 128) bf16: row 8c+h = byte c of bins h*128+..
+    ohs = [
+        _onehots(hi[r : r + 1, :], lo[r : r + 1, :], ids_hi, ids_lo)
+        for r in range(BLOCK_ROWS)
+    ]
+    oh_lo = jnp.concatenate([p[1] for p in ohs], axis=1)  # (128, T)
+    b2 = jax.lax.dot_general(
+        table,
+        oh_lo,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (2*HI, T)
+    rows = []
+    for r in range(BLOCK_ROWS):
+        oh_hi_f = ohs[r][0].astype(jnp.float32)
+        b2r = b2[:, 128 * r : 128 * (r + 1)]
+        hi_b = jnp.sum(oh_hi_f * b2r[0:8, :], axis=0, keepdims=True)
+        lo_b = jnp.sum(oh_hi_f * b2r[8:16, :], axis=0, keepdims=True)
+        rows.append((hi_b.astype(jnp.int32) << 8) | lo_b.astype(jnp.int32))
+    val_ref[:] = jnp.concatenate(rows, axis=0)
+
+
+@jax.jit
+def value_join_pallas(bins: jnp.ndarray, val_tbl: jnp.ndarray) -> jnp.ndarray:
+    """MXU value lookup with per-image tables (16-bit values).
+
+    bins (B, M) int32 (invalid entries >= 858 return 0); val_tbl (B, 858)
+    int32 with values < 2^16.  Returns (B, M) int32."""
+    B, M = bins.shape
+    flat = jnp.zeros((B, 2, BINS_PAD), jnp.bfloat16)
+    flat = flat.at[:, 0, : C.TOTAL_SYMBOLS].set(
+        ((val_tbl >> 8) & 0xFF).astype(jnp.bfloat16)
+    )
+    flat = flat.at[:, 1, : C.TOTAL_SYMBOLS].set(
+        (val_tbl & 0xFF).astype(jnp.bfloat16)
+    )
+    table = flat.reshape(B * 2 * HI, 128)
+
+    tiles, m_pad, blocks = _to_tiles(bins)
+    rows = m_pad // 128
+    val = pl.pallas_call(
+        _value_join_kernel,
+        grid=(B, blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (BLOCK_ROWS, 128),
+                lambda b, i, r=rows: (b * (r // BLOCK_ROWS) + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (2 * HI, 128), lambda b, i: (b, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (BLOCK_ROWS, 128),
+            lambda b, i, r=rows: (b * (r // BLOCK_ROWS) + i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(tiles.shape, jnp.int32),
+    )(tiles, table)
+    return val.reshape(B, m_pad)[:, :M]
+
+
 @jax.jit
 def table_join_pallas(
     bins: jnp.ndarray, aob_tbl: jnp.ndarray, code_tbl: jnp.ndarray
