@@ -25,6 +25,20 @@ def _resolve_backend(backend: str | None, config=None) -> str:
     return config.backend
 
 
+def _accelerated() -> bool:
+    """True when jax's default backend is a real accelerator.
+
+    "auto" only routes to the jax codec on an accelerator: on a CPU-only
+    host the XLA compile of the fused pipelines takes minutes for a single
+    image, while the native C++ codec answers in milliseconds."""
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def _to_rgb(img: np.ndarray, alpha: str = "drop") -> np.ndarray:
     """Normalize to (H, W, 3) uint8.
 
@@ -63,7 +77,7 @@ def encode(
     """
     backend = _resolve_backend(backend, config)
     img = _to_rgb(img, alpha)
-    if backend in ("auto", "jax"):
+    if backend == "jax" or (backend == "auto" and _accelerated()):
         try:
             from nicetpu.kernels.encode2 import encode_jax_v2
 
@@ -96,9 +110,9 @@ def decode(data: bytes, backend: str | None = None, config=None) -> np.ndarray:
     """
     backend = _resolve_backend(backend, config)
     if backend == "jax":
-        from nicetpu.kernels.decode_dev import decode_jax
+        from nicetpu.kernels.decode3 import decode_jax_v3
 
-        return decode_jax(data)
+        return decode_jax_v3(data)
     if backend in ("auto", "native"):
         try:
             from nicetpu.hostref.oracle import decode_native
@@ -119,7 +133,7 @@ def encode_batch(imgs: list[np.ndarray], backend: str | None = None, config=None
     backend = _resolve_backend(backend, config)
     imgs = [_to_rgb(im) for im in imgs]
     same_shape = len({im.shape for im in imgs}) == 1
-    if backend in ("auto", "jax") and same_shape:
+    if (backend == "jax" or (backend == "auto" and _accelerated())) and same_shape:
         try:
             from nicetpu.kernels.encode2 import encode_batch as jb
 
@@ -140,13 +154,13 @@ def encode_batch(imgs: list[np.ndarray], backend: str | None = None, config=None
 
 def decode_batch(datas: list[bytes], backend: str | None = None, config=None) -> list[np.ndarray]:
     """Batch decode.  "native" (OpenMP across images) is the default host
-    path; "jax" runs the TPU-native decoder as ONE vmapped dispatch over a
-    same-shape batch (kernels/decode_dev.decode_batch_jax)."""
+    path; "jax" runs the TPU-native v3 decoder as batched dispatches over a
+    same-shape batch (kernels/decode3.decode_batch_jax_v3)."""
     backend = _resolve_backend(backend, config)
     if backend == "jax":
-        from nicetpu.kernels.decode_dev import decode_batch_jax
+        from nicetpu.kernels.decode3 import decode_batch_jax_v3
 
-        return decode_batch_jax(datas)
+        return decode_batch_jax_v3(datas)
     if backend in ("auto", "native"):
         try:
             from nicetpu.hostref.oracle import decode_batch_native

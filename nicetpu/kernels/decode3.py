@@ -188,15 +188,23 @@ def _decode_group(p, win_at, tget, pfx_get, maxl):
 # ---------------------------------------------------------------------------
 
 
-def walk_ref(words, entries, af, present, ib, pfx_sorted, wbits, *, chunk_bits, steps, maxl):
+def walk_ref(
+    words, entries, af, present, ib, pfx_sorted, wbits,
+    *, chunk_bits, steps, maxl, chunk0=0, bit_base=0,
+):
     """Chunked walk, one image.  words (Wn,) uint32; entries (nch,) int32
     absolute bit positions.  Returns (pos, sym, idx12, idx34) each
-    (nch, steps) int32 (pos = -1 where frozen/dead) and exits (nch,)."""
+    (nch, steps) int32 (pos = -1 where frozen/dead) and exits (nch,).
+
+    chunk0/bit_base: for shard-local word slices — the walk handles chunks
+    [chunk0, chunk0 + nch) and `words` starts at absolute bit `bit_base`
+    (positions stay global)."""
     nch = entries.shape[0]
     wi = words.astype(jnp.int32)
-    bound = (jnp.arange(nch, dtype=jnp.int32) + 1) * chunk_bits
+    bound = (chunk0 + jnp.arange(nch, dtype=jnp.int32) + 1) * chunk_bits
 
     def win_at(q):
+        q = q - bit_base
         w = q >> 5
         sh = (q & 31).astype(jnp.uint32)
         w0 = wi[jnp.minimum(w, wi.shape[0] - 1)]
@@ -499,6 +507,18 @@ def assemble_v3(pos, sym, p1, p2, p3, p4, n_pixels: int, width: int, wbits):
     # the only failure is total < N (truncated walk / corrupt stream)
     ok_cov = incl[:, -1] >= N
 
+    rec, dst = slot_records(is_pfx, sym, p1, p2, p3, p4, start, real, N, W)
+    return rec, dst, ok_cov
+
+
+def slot_records(is_pfx, sym, p1, p2, p3, p4, start, real, n_pixels: int, width: int):
+    """Packed placement records from decoded pixel slots (elementwise).
+
+    Transfer-form selection per mode (ref code.rs:576-651): BACK_REF/LUMA
+    refs split into chain lags 1..3 vs const offsets; SMALL_DIFF/RGB/LUMA2
+    take the floor-average form off row 0.  Returns (rec, dst): rec packs
+    form(3b) | ref-index(4b) | dr,dg,db (8b each, mod 256) in 31 bits."""
+    N, W = n_pixels, width
     mode = jnp.where(is_pfx, sym, 0)
     is_br = mode == C.PREFIX_BACK_REF
     is_rgb = mode == C.PREFIX_RGB
@@ -543,7 +563,7 @@ def assemble_v3(pos, sym, p1, p2, p3, p4, n_pixels: int, width: int, wbits):
         | ((db & 255) << 23)
     )
     dst = jnp.where(real, start, N)
-    return rec, dst, ok_cov
+    return rec, dst
 
 
 def place_and_unpack(rec, dst, n_pixels: int, width: int):
@@ -618,25 +638,30 @@ def _decode_core_v3(
     B, Wn = words.shape
     wpc = chunk_bits // 32
     nch_pad = (Wn - _wrows(chunk_bits)) // wpc
-    KB = nch_pad // CPB
-    entries0 = chunk_layout(
-        jnp.broadcast_to(
-            jnp.arange(nch_pad, dtype=jnp.int32)[None, :] * chunk_bits, (B, nch_pad)
-        ),
-        KB,
+    entries0 = jnp.broadcast_to(
+        jnp.arange(nch_pad, dtype=jnp.int32)[None, :] * chunk_bits, (B, nch_pad)
     )
 
     if _use_pallas_walk():
+        KB = nch_pad // CPB
         words_blk = make_word_blocks(words, nch_pad, chunk_bits)
-        walk = lambda e: walk_pallas(
-            words_blk, e, af, present, ib, pfx, wbits,
-            chunk_bits=chunk_bits, steps=steps, maxl=maxl,
-        )
+
+        def walk(e):
+            pos, sym, i12, i34, exits = walk_pallas(
+                words_blk, chunk_layout(e, KB), af, present, ib, pfx, wbits,
+                chunk_bits=chunk_bits, steps=steps, maxl=maxl,
+            )
+            return (
+                flatten_records(pos),
+                flatten_records(sym),
+                flatten_records(i12),
+                flatten_records(i34),
+                chunk_unlayout(exits),
+            )
+
     else:
 
         def walk(e):
-            ef = chunk_unlayout(e)
-
             def one(wd, ee, a, pr, i, pf, wb):
                 return walk_ref(
                     wd, ee, a, pr, i, pf[0], wb,
@@ -644,13 +669,10 @@ def _decode_core_v3(
                 )
 
             pos, sym, i12, i34, exits = jax.vmap(one)(
-                words, ef, af, present, ib, pfx, wbits
+                words, e, af, present, ib, pfx, wbits
             )
-            SB = steps // SBLK
-            resh = lambda r: jnp.transpose(
-                r.reshape(B, KB, 8, 128, SB, SBLK), (0, 1, 4, 5, 2, 3)
-            )
-            return resh(pos), resh(sym), resh(i12), resh(i34), chunk_layout(exits, KB)
+            flat = lambda r: r.reshape(B, nch_pad * steps)
+            return flat(pos), flat(sym), flat(i12), flat(i34), exits
 
     # round 1: speculative entries = chunk starts (anchored at bit 0).
     # Each later round re-walks from the previous exits: entry truth
@@ -658,34 +680,23 @@ def _decode_core_v3(
     # tolerate runs of (rounds - 2) consecutive non-syncing chunks.
     e = entries0
     for _ in range(rounds - 1):
-        _, _, _, _, exits = walk(e)
-        ex = chunk_unlayout(exits)
-        entries2 = jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.int32), ex[:, :-1]], axis=1
-        )
-        e = chunk_layout(entries2, KB)
-    pos_r, sym_r, i12_r, i34_r, exits2 = walk(e)
-    ex2 = chunk_unlayout(exits2)
+        _, _, _, _, ex = walk(e)
+        e = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), ex[:, :-1]], axis=1)
+    pos, sym, i12, i34, ex2 = walk(e)
 
     # Gate (induction from the bit-0 anchor): every final-round exit that is
     # still inside the payload must equal the entry the NEXT chunk was given,
     # and every chunk that actually walked must have crossed its boundary
     # (not run out of step budget).  Any miss -> ok False -> host fallback.
-    nch = KB * CPB
     wb = wbits[:, None]
-    starts = jnp.arange(nch, dtype=jnp.int32)[None, :] * chunk_bits
+    starts = jnp.arange(nch_pad, dtype=jnp.int32)[None, :] * chunk_bits
     bounds = starts + chunk_bits
     ok_consist = jnp.all(
-        (ex2[:, :-1] == entries2[:, 1:]) | (ex2[:, :-1] >= wb), axis=1
+        (ex2[:, :-1] == e[:, 1:]) | (ex2[:, :-1] >= wb), axis=1
     )
-    walked = entries2 < wb
+    walked = e < wb
     crossed = ex2 >= jnp.minimum(bounds, wb)
     ok_cross = jnp.all(crossed | ~walked, axis=1)
-
-    pos = flatten_records(pos_r)
-    sym = flatten_records(sym_r)
-    i12 = flatten_records(i12_r)
-    i34 = flatten_records(i34_r)
 
     bins = _payload_bins(sym, i12, i34)
     syms = [_sym_join(b, sym_tbl) for b in bins]
@@ -745,10 +756,15 @@ def prepare_tables_v3(flat_lengths: np.ndarray):
 
 
 def _words_cap(max_payload_bytes: int, chunk_bits: int) -> tuple[int, int]:
-    """Bucketed (Wn, nch_pad) so nearby payload sizes share an executable."""
+    """Bucketed (Wn, nch_pad) so nearby payload sizes share an executable.
+
+    The Pallas kernel walks CPB chunks per invocation, so nch pads to a CPB
+    multiple on TPU; the jnp reference path (CPU tests) pads to 8 only —
+    padding 1024x for tiny test images made CPU runs minutes long."""
+    align = CPB if _use_pallas_walk() else 8
     wbits_max = max_payload_bytes * 8
     nch = -(-wbits_max // chunk_bits)
-    nch_pad = max(CPB, -(-nch // CPB) * CPB)
+    nch_pad = max(align, -(-nch // align) * align)
     Wn = nch_pad * (chunk_bits // 32) + _wrows(chunk_bits)
     return Wn, nch_pad
 
@@ -757,6 +773,63 @@ def _segs_for(width: int) -> int:
     from nicetpu.kernels.decode_dev import _pick_segs
 
     return _pick_segs(width)
+
+
+def prepare_batch_args(
+    datas: list[bytes], *, chunk_bits: int = CHUNK_BITS,
+    steps_div: int | None = None, rounds: int | None = None,
+):
+    """Device arrays + static kwargs for `_decode_core_v3` on a same-shape
+    batch (host-side header parse, table build, word upload).  The kwargs
+    default to the fast ladder config; bench uses this to time the device
+    pipeline with a checksum-only fetch."""
+    from nicetpu.format import headers, huffman
+
+    shapes = {headers.parse_file_header(d)[:2] for d in datas}
+    if len(shapes) != 1:
+        raise ValueError("batch decode requires same-shape streams")
+    W, H = next(iter(shapes))
+    if W < C.MIN_WIDTH:
+        raise ValueError(f"width must be >= {C.MIN_WIDTH}")
+    N = W * H
+
+    tabs, payloads = [], []
+    for d in datas:
+        if headers.parse_file_header(d)[2] != 3:
+            raise ValueError("only channels=3 decode is defined (SURVEY A.8.3)")
+        flat_lengths = headers.parse_stream_headers(d[C.FILE_HEADER_BYTES :])
+        huffman.validate_flat_lengths(flat_lengths)
+        tabs.append(prepare_tables_v3(flat_lengths))
+        payloads.append(d[C.FILE_HEADER_BYTES + C.STREAM_HEADERS_BYTES : len(d) - 4])
+
+    Wn, _ = _words_cap(max(len(p) for p in payloads), chunk_bits)
+    words = np.zeros((len(datas), Wn), dtype=np.uint32)
+    wbits = np.zeros(len(datas), dtype=np.int32)
+    for i, p in enumerate(payloads):
+        src = np.frombuffer(p + b"\0" * ((-len(p)) % 4), dtype=">u4")
+        words[i, : src.shape[0]] = src
+        wbits[i] = len(p) * 8
+
+    maxl = pick_maxl(max(t[5] for t in tabs))
+    args = (
+        jnp.asarray(words.view(np.int32)),
+        jnp.asarray(wbits),
+        jnp.asarray(np.stack([t[0] for t in tabs])),
+        jnp.asarray(np.stack([t[1] for t in tabs])),
+        jnp.asarray(np.stack([t[2] for t in tabs])),
+        jnp.asarray(np.stack([t[3] for t in tabs])),
+        jnp.asarray(np.stack([t[4] for t in tabs])),
+    )
+    kw = dict(
+        n_pixels=N,
+        width=W,
+        chunk_bits=chunk_bits,
+        steps=_steps(chunk_bits, steps_div if steps_div else LADDER[0][0]),
+        maxl=maxl,
+        segs=_segs_for(W),
+        rounds=rounds if rounds else LADDER[0][1],
+    )
+    return args, kw
 
 
 def decode_batch_jax_v3(
@@ -787,56 +860,30 @@ def decode_batch_jax_v3(
         raise ValueError(f"width must be >= {C.MIN_WIDTH}")
     N = W * H
 
-    tabs, payloads = [], []
-    for d in datas:
-        if headers.parse_file_header(d)[2] != 3:
-            raise ValueError("only channels=3 decode is defined (SURVEY A.8.3)")
-        flat_lengths = headers.parse_stream_headers(d[C.FILE_HEADER_BYTES :])
-        huffman.validate_flat_lengths(flat_lengths)
-        tabs.append(prepare_tables_v3(flat_lengths))
-        payloads.append(d[C.FILE_HEADER_BYTES + C.STREAM_HEADERS_BYTES : len(d) - 4])
-
-    Wn, nch_pad = _words_cap(max(len(p) for p in payloads), chunk_bits)
-    words = np.zeros((len(datas), Wn), dtype=np.uint32)
-    wbits = np.zeros(len(datas), dtype=np.int32)
-    for i, p in enumerate(payloads):
-        src = np.frombuffer(p + b"\0" * ((-len(p)) % 4), dtype=">u4")
-        words[i, : src.shape[0]] = src
-        wbits[i] = len(p) * 8
-
-    maxl = pick_maxl(max(t[5] for t in tabs))
-    args = (
-        jnp.asarray(words.view(np.int32)),
-        jnp.asarray(wbits),
-        jnp.asarray(np.stack([t[0] for t in tabs])),
-        jnp.asarray(np.stack([t[1] for t in tabs])),
-        jnp.asarray(np.stack([t[2] for t in tabs])),
-        jnp.asarray(np.stack([t[3] for t in tabs])),
-        jnp.asarray(np.stack([t[4] for t in tabs])),
-    )
+    args, base_kw = prepare_batch_args(datas, chunk_bits=chunk_bits)
     out_np = None
     ok_np = np.zeros(len(datas), bool)
     retries = 0
     for steps_div, rounds in ladder:
         out, ok = _device_decode_v3(
             *args,
-            n_pixels=N,
-            width=W,
-            chunk_bits=chunk_bits,
-            steps=_steps(chunk_bits, steps_div),
-            maxl=maxl,
-            segs=_segs_for(W),
-            rounds=rounds,
-            serial_recon=serial_recon,
+            **{
+                **base_kw,
+                "steps": _steps(chunk_bits, steps_div),
+                "rounds": rounds,
+                "serial_recon": serial_recon,
+            },
         )
         ok_new = np.asarray(ok)
         out_new = np.asarray(out)
         if out_np is None:
             out_np, ok_np = out_new, ok_new
         else:
+            if not out_np.flags.writeable:
+                out_np = out_np.copy()
             upd = ok_new & ~ok_np
             out_np[upd] = out_new[upd]
-            ok_np |= ok_new
+            ok_np = ok_np | ok_new
         if ok_np.all():
             break
         retries += 1

@@ -484,14 +484,19 @@ def _const_offsets(width: int) -> list[int]:
     return sorted(o for o in offs if o >= 4)
 
 
-def reconstruct_rows(form, delta, refoff, n_pixels: int, width: int, segs: int):
+def reconstruct_rows(
+    form, delta, refoff, n_pixels: int, width: int, segs: int, prev4=None
+):
     """Fast exact reconstruction (module docstring idea 3), gather-free.
 
     An H-step scan carries the previous 4 rows; per row: segment transfer
     LUTs over 256 candidate boundary values (elementwise build), a one-hot
     S-step boundary resolve, an L-step replay, and a 3-column serial fixup
     for the w-1/w-3 same-row wrap refs (SURVEY A.8.2).  Requires
-    width % segs == 0 and segment length >= 4."""
+    width % segs == 0 and segment length >= 4.
+
+    prev4: optional (4*W, 3) int32 initial carry (the 4 rows preceding this
+    block) — lets sharded decode pipeline row blocks across devices."""
     N, W, S = n_pixels, width, segs
     if W % S or W // S < 4:
         raise ValueError(f"segs {S} must divide width {W} with segment length >= 4")
@@ -588,10 +593,11 @@ def reconstruct_rows(form, delta, refoff, n_pixels: int, width: int, segs: int):
 
         return jnp.concatenate([prev4[W:], row]), row
 
-    _, rows = jax.lax.scan(
-        row_body, jnp.zeros((4 * W, 3), jnp.int32), (f_rows, d_rows, ro_rows)
-    )
-    return rows.reshape(N, 3)
+    init = jnp.zeros((4 * W, 3), jnp.int32) if prev4 is None else prev4
+    tail, rows = jax.lax.scan(row_body, init, (f_rows, d_rows, ro_rows))
+    if prev4 is None:
+        return rows.reshape(N, 3)
+    return rows.reshape(N, 3), tail
 
 
 # ---------------------------------------------------------------------------
