@@ -11,11 +11,27 @@ serial oracle codec) is native C++/numpy.
 Public API:
     encode(img)   -> bytes           (.nice bitstream)
     decode(data)  -> np.ndarray      ((H, W, 3) uint8)
+    encode_batch/decode_batch — batched (device-friendly) variants
     imread/imwrite — PNG <-> array bridges
 """
 
-from nicetpu.api import encode, decode, imread, imwrite
+from nicetpu.api import (
+    decode,
+    decode_batch,
+    encode,
+    encode_batch,
+    imread,
+    imwrite,
+)
 
 __version__ = "0.1.0"
 
-__all__ = ["encode", "decode", "imread", "imwrite", "__version__"]
+__all__ = [
+    "encode",
+    "decode",
+    "encode_batch",
+    "decode_batch",
+    "imread",
+    "imwrite",
+    "__version__",
+]

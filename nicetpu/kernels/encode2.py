@@ -150,78 +150,6 @@ def _place(aob, code, *, w_cap: int):
     return words, total_bits
 
 
-# Fold-placement tier: pixels with more packed bits than
-# 32*(scatter_words-1) go through a wider fold or the slot-level fallback.
-FOLD_SCATTER_WORDS = 3
-FOLD_MAX_BITS = 32 * (FOLD_SCATTER_WORDS - 1)
-
-
-def _fold_place(aob2, code2, *, w_cap: int, scatter_words: int = FOLD_SCATTER_WORDS):
-    """Per-pixel record fold + scatter_words-updates-per-pixel scatter.
-
-    aob2/code2: (N, S) per-slot code lengths / codes.  Each pixel's <= S
-    tokens are folded into a left-aligned bit record with pure element-wise
-    select-masks (no gathers), then the record is funnel-shifted to its
-    global bit offset and scattered as scatter_words words.  This cuts
-    scatter updates from 2 per SLOT to scatter_words per PIXEL (~4-5x fewer;
-    scatter costs ~8 ns/update on TPU).  Pixels packing more than
-    32*(scatter_words-1) bits set the overflow flag; the caller falls back
-    to a wider fold or the slot-level path.
-
-    Returns (words (w_cap,) uint32, total_bits int32, overflow bool).
-    """
-    N, S = aob2.shape
-    R = (S * 31 + 31) // 32  # record words (worst case, exact fold)
-    max_bits = 32 * (scatter_words - 1)
-
-    rec = [jnp.zeros(N, jnp.uint32) for _ in range(R)]
-    cum = jnp.zeros(N, jnp.int32)
-    for s in range(S):
-        L = aob2[:, s]
-        cd = code2[:, s]
-        sw = cum >> 5
-        sb = cum & 31
-        fits = sb + L <= 32
-        k = jnp.where(fits, 0, sb + L - 32)
-        shift_hi = jnp.clip(jnp.where(fits, 32 - sb - L, k), 0, 31).astype(jnp.uint32)
-        hi = jnp.where(fits, cd << shift_hi, cd >> shift_hi)
-        mask_k = (jnp.uint32(1) << k.astype(jnp.uint32)) - jnp.uint32(1)
-        shift_lo = jnp.clip(32 - k, 0, 31).astype(jnp.uint32)
-        lo = jnp.where(fits, jnp.uint32(0), (cd & mask_k) << shift_lo)
-        for j in range(min(R, s + 2)):  # cum <= 31*s => sw <= s, lo at sw+1
-            rec[j] = (
-                rec[j]
-                | jnp.where(sw == j, hi, jnp.uint32(0))
-                | jnp.where(sw == j - 1, lo, jnp.uint32(0))
-            )
-        cum = cum + L
-
-    kbits = cum  # per-pixel record length
-    overflow = jnp.any(kbits > max_bits)
-
-    pad = (-N) % 512
-    kpad = jnp.pad(kbits, (0, pad))
-    incl = _cumsum_matmul(kpad)
-    total_bits = incl[-1]
-    offs = (incl - kpad)[:N]
-
-    w = (offs >> 5).astype(jnp.int32)
-    r = (offs & 31).astype(jnp.uint32)
-    r_nz = r > 0
-    sh = []
-    for j in range(scatter_words):
-        cur = rec[j] if j < R else jnp.zeros(N, jnp.uint32)
-        prev = rec[j - 1] if 0 < j <= R else jnp.zeros(N, jnp.uint32)
-        val = cur >> r
-        val = val | jnp.where(r_nz, prev << (jnp.uint32(32) - r), jnp.uint32(0))
-        sh.append(val)
-
-    words = jnp.zeros(w_cap, dtype=jnp.uint32)
-    for j in range(scatter_words):
-        words = words.at[w + j].add(sh[j], mode="drop")
-    return words, total_bits, overflow
-
-
 def _fold_pixel_records(aob2, code2, capw: int):
     """Per-pixel left-aligned bit records from per-slot (aob, code).
 
@@ -253,71 +181,39 @@ def _fold_pixel_records(aob2, code2, capw: int):
     return rec, cum
 
 
-def _combine_records(recA, kA, recB, capw_out: int):
-    """Concatenate bit records: out = A ++ (B >> kA), all element-wise.
-
-    recA/recB: lists of (M,) uint32 words (left-aligned records); kA: (M,)
-    int32 bit lengths of A (kA <= 32*len(recA)).  B words are funnel-shifted
-    by kA and OR-merged; B content beyond 32*capw_out bits is dropped (the
-    caller's overflow check catches it).  Returns list of capw_out words."""
-    q = kA >> 5
-    r = (kA & 31).astype(jnp.uint32)
-    r_nz = r > 0
-    nA, nB = len(recA), len(recB)
-    zero = jnp.zeros_like(recB[0])
-    out = []
-    for j in range(capw_out):
-        acc = recA[j] if j < nA else zero
-        for qq in range(min(j, nA) + 1):
-            hi_i = j - qq
-            contrib = zero
-            if hi_i < nB:
-                contrib = recB[hi_i] >> r
-            if 0 <= hi_i - 1 < nB:
-                contrib = contrib | jnp.where(
-                    r_nz, recB[hi_i - 1] << (jnp.uint32(32) - r), jnp.uint32(0)
-                )
-            acc = acc | jnp.where(q == qq, contrib, jnp.uint32(0))
-        out.append(acc)
-    return out
+# Grouped fold: 8 consecutive pixels fold into one <= 320-bit record, so
+# the final scatter is (GROUP_CAPW+1) words per 8 PIXELS (1.375 updates per
+# pixel vs 4/pixel for the per-pixel fold — scatter was ~3/4 of the whole
+# fused dispatch on TPU, see ARCHITECTURE cost model).  320 bits/group =
+# 40 bits avg/pixel; RGB-heavy noise runs ~33 bits/pixel, so real images
+# fit.  The fold is a SINGLE elementwise pass over the group's G*S slots:
+# a pairwise combine tree was tried first and measured 35% slower — its
+# [0::2]/[1::2] strided slices relayout every level on TPU.
+GROUP_CAPW = 10
+GROUP = 8
 
 
-# Grouped-fold capacity ladder: per-pixel 96 bits, pair 192, quad 256,
-# oct 320.  Each level's cap trades scatter volume against fallback risk:
-# the final scatter is (caps[-1]+1) words per 8 PIXELS (1.375 updates/pixel
-# vs 4/pixel for the per-pixel fold — scatter is ~3/4 of the whole fused
-# dispatch on TPU, see ARCHITECTURE cost model).  320 bits/oct = 40 bits
-# avg/pixel; RGB-heavy noise runs ~33 bits/pixel, so real images fit.
-GROUP_CAPS = (3, 6, 8, 10)
-GROUP = 1 << (len(GROUP_CAPS) - 1)
+def _fold_place_grouped(aob2, code2, *, w_cap: int, capw: int = GROUP_CAPW):
+    """Group fold + (capw+1)-word scatter (one image).
 
-
-def _fold_place_grouped(aob2, code2, *, w_cap: int, caps=GROUP_CAPS):
-    """Hierarchical group fold + (caps[-1]+1)-word scatter (one image).
-
-    Folds 2^(len(caps)-1) consecutive pixels into one left-aligned bit
-    record by pairwise funnel-shift merges, then scatters each group record
-    at its exclusive-scan bit offset.  Byte-identical to `_fold_place`
-    whenever neither path overflows; groups exceeding a level cap set the
-    overflow flag (caller falls back to an exact path)."""
+    Folds GROUP consecutive pixels' slots into one left-aligned bit record
+    (one `_fold_pixel_records` pass over G*S slots), then scatters each
+    group record at its exclusive-scan bit offset.  Byte-identical to
+    the per-slot `_place` whenever neither path overflows; a group exceeding
+    32*capw bits sets the overflow flag (caller falls back to an exact
+    path)."""
     N, S = aob2.shape
-    G = 1 << (len(caps) - 1)
+    G = GROUP
     pad = (-N) % G
     if pad:
         aob2 = jnp.pad(aob2, ((0, pad), (0, 0)))
         code2 = jnp.pad(code2, ((0, pad), (0, 0)))
-    rec, k = _fold_pixel_records(aob2, code2, caps[0])
-    ovf = k > 32 * caps[0]
-    for capw in caps[1:]:
-        recA = [w[0::2] for w in rec]
-        recB = [w[1::2] for w in rec]
-        kA, kB = k[0::2], k[1::2]
-        rec = _combine_records(recA, kA, recB, capw)
-        k = kA + kB
-        ovf = ovf[0::2] | ovf[1::2] | (k > 32 * capw)
-    overflow = jnp.any(ovf)
+    M = aob2.shape[0] // G
+    rec, k = _fold_pixel_records(
+        aob2.reshape(M, G * S), code2.reshape(M, G * S), capw
+    )
+    overflow = jnp.any(k > 32 * capw)
 
-    M = k.shape[0]
     padk = (-M) % 512
     kpad = jnp.pad(k, (0, padk))
     # float32 matmul: group bit counts exceed bfloat16's exact-int range
@@ -329,13 +225,67 @@ def _fold_place_grouped(aob2, code2, *, w_cap: int, caps=GROUP_CAPS):
     r = (offs & 31).astype(jnp.uint32)
     r_nz = r > 0
     words = jnp.zeros(w_cap, dtype=jnp.uint32)
-    capw = caps[-1]
     for j in range(capw + 1):
         cur = rec[j] if j < capw else jnp.zeros(M, jnp.uint32)
         prev = rec[j - 1] if 0 < j <= capw else jnp.zeros(M, jnp.uint32)
         val = cur >> r
         val = val | jnp.where(r_nz, prev << (jnp.uint32(32) - r), jnp.uint32(0))
         words = words.at[w + j].add(val, mode="drop")
+    return words, total_bits, overflow
+
+
+def _fold_place_grouped_batched(aob3, code3, *, w_cap: int, capw: int = GROUP_CAPW):
+    """Batched grouped fold + place: (B, N, S) -> (words (B, w_cap), totals
+    (B,), overflow (B,)).  On TPU the record fold runs as a Pallas kernel
+    (pallas_ops.fold_records_pallas); elsewhere it vmaps the jnp
+    `_fold_place_grouped`.  Byte-identical outputs."""
+    B, N, S = aob3.shape
+    if not _use_pallas():
+        return jax.vmap(partial(_fold_place_grouped, w_cap=w_cap, capw=capw))(
+            aob3, code3
+        )
+    from nicetpu.kernels.pallas_ops import fold_records_pallas
+
+    G = GROUP
+    pad = (-N) % G
+    if pad:
+        aob3 = jnp.pad(aob3, ((0, 0), (0, pad), (0, 0)))
+        code3 = jnp.pad(code3, ((0, 0), (0, pad), (0, 0)))
+    M = aob3.shape[1] // G
+    rec, k = fold_records_pallas(
+        aob3.reshape(B, M, G * S),
+        jax.lax.bitcast_convert_type(code3, jnp.int32).reshape(B, M, G * S),
+        capw=capw,
+    )  # rec (B, capw, Mp) int32; k (B, Mp) — padded groups are empty
+    overflow = jnp.any(k > 32 * capw, axis=1)
+
+    Mp = k.shape[1]
+    padk = (-Mp) % 512
+    kpad = jnp.pad(k, ((0, 0), (0, padk)))
+    incl = _cumsum_matmul(kpad, dtype=jnp.float32)
+    total_bits = incl[:, Mp - 1]
+    offs = incl[:, :Mp] - k
+
+    recu = jax.lax.bitcast_convert_type(rec, jnp.uint32)
+    w = (offs >> 5).astype(jnp.int32)
+    r = (offs & 31).astype(jnp.uint32)
+    r_nz = r > 0
+    zero = jnp.zeros((B, Mp), jnp.uint32)
+
+    def scatter1(w1, vals1):
+        out = jnp.zeros(w_cap, dtype=jnp.uint32)
+        for j in range(capw + 1):
+            out = out.at[w1 + j].add(vals1[j], mode="drop")
+        return out
+
+    vals = []
+    for j in range(capw + 1):
+        cur = recu[:, j] if j < capw else zero
+        prev = recu[:, j - 1] if 0 < j <= capw else zero
+        val = cur >> r
+        val = val | jnp.where(r_nz, prev << (jnp.uint32(32) - r), jnp.uint32(0))
+        vals.append(val)
+    words = jax.vmap(scatter1)(w, jnp.stack(vals, axis=1))
     return words, total_bits, overflow
 
 
@@ -365,7 +315,7 @@ def pack_compact(bins, aob_tbl, code_tbl, *, w_cap: int, slots: int, mode: str =
         B, M = aob.shape
         aob2 = aob.reshape(B, M // slots, slots)
         code2 = code.reshape(B, M // slots, slots)
-        return jax.vmap(partial(_fold_place, w_cap=w_cap))(aob2, code2)
+        return _fold_place_grouped_batched(aob2, code2, w_cap=w_cap)
     words, totals = jax.vmap(partial(_place, w_cap=w_cap))(aob, code)
     return words, totals, jnp.zeros(words.shape[0], jnp.bool_)
 
@@ -416,7 +366,7 @@ def encode_batch(imgs: np.ndarray) -> list[bytes]:
         bins, jnp.asarray(aob_np), jnp.asarray(code_np), w_cap=w_cap, slots=slots
     )
     if bool(np.asarray(ovf_d).any()):
-        # Rare: some pixel packs > FOLD_MAX_BITS bits; exact slot-level path.
+        # Rare: some group packs > 32*GROUP_CAPW bits; exact slot-level path.
         words_d, totals_d, _ = pack_compact(
             bins,
             jnp.asarray(aob_np),
@@ -452,7 +402,7 @@ def encode_fused(imgs_flat, *, width: int, ndigits_cap: int, w_cap: int):
     imgs_flat: (B, N, 3) uint8.  Returns (words (B, w_cap) uint32,
     small (B, 860) int32) where small = per-image [flat code lengths (858),
     total payload bits, overflow flag].  When the overflow flag is set (run
-    needs > ndigits_cap digits, a pixel packs > FOLD_MAX_BITS bits, or a
+    needs > ndigits_cap digits, a group packs > 32*GROUP_CAPW bits, or a
     Huffman length exceeds 31 bits) the caller must fall back to an exact
     host path; the fused outputs for that image are not usable.
     """
@@ -496,11 +446,10 @@ def encode_fused(imgs_flat, *, width: int, ndigits_cap: int, w_cap: int):
     aob2 = aob.reshape(B, M // slots, slots)
     code2 = code.reshape(B, M // slots, slots)
     # Grouped fold: 8 pixels per scattered record (11 updates / 8 pixels vs
-    # 4/pixel — the scatter was ~3/4 of the whole dispatch).  96-bit pixel
-    # cap covers RGB-mode pixels whose three residual codes are long.
-    words, totals, fold_ovf = jax.vmap(
-        partial(_fold_place_grouped, w_cap=w_cap)
-    )(aob2, code2)
+    # 4/pixel — the scatter was ~3/4 of the whole dispatch); 320-bit group
+    # cap = 40 bits avg/pixel, so long RGB-residual pixels borrow headroom
+    # from their group instead of overflowing a per-pixel cap.
+    words, totals, fold_ovf = _fold_place_grouped_batched(aob2, code2, w_cap=w_cap)
 
     cap_ovf = totals > jnp.int32(32 * (w_cap - 2))
     ovf = run_ovf | len_ovf | fold_ovf | cap_ovf

@@ -122,7 +122,7 @@ class TestGroupedFold:
     def test_overflow_flag_on_dense_groups(self):
         import jax.numpy as jnp
 
-        from nicetpu.kernels.encode2 import GROUP_CAPS, _fold_place_grouped
+        from nicetpu.kernels.encode2 import _fold_place_grouped
 
         N, S = 64, 8
         aob = np.full((N, S), 31, np.int32)  # 248 bits/pixel >> every cap
