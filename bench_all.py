@@ -1,14 +1,23 @@
 """Extended benchmark: the five BASELINE.json configs, one JSON line each.
 
 `bench.py` remains the driver's one-line headline; this script measures the
-full scenario matrix (on the real TPU when available) and is the basis for
-BENCH notes in the README/ARCHITECTURE docs.
+full scenario matrix on the real TPU (configs 1-4) and the 8-device virtual
+CPU mesh (config 5, labeled — no pod slice is attached to this host).
+Configs 2 and 4 run on REAL photographic images (nicetpu.realcorpus), with
+the synthetic variant as a second labeled line; decode configs report the
+TPU fast-path fallback count (must be 0 on valid streams).
+
+Run: python bench_all.py              -> one JSON line per scenario
+     python bench_all.py _config5 N   (internal: virtual-mesh worker)
+Commit the output as BENCH_all_r{N}.json.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
@@ -29,65 +38,287 @@ def make_img(h, w, seed=0, rgba=False):
     return img
 
 
+def real_patches(n: int, h: int, w: int) -> list[np.ndarray]:
+    """n real-photo (h, w, 3) patches tiled out of the realcorpus images."""
+    from nicetpu.realcorpus import load_corpus
+
+    corpus = [im for _, im in load_corpus()]
+    out: list[np.ndarray] = []
+    while len(out) < n:
+        for im in corpus:
+            if len(out) >= n:
+                break
+            H, W = im.shape[:2]
+            if H < h or W < w:
+                # upsample small camera shots by pixel-doubling (still photo
+                # statistics, unlike sinusoids)
+                im = np.repeat(np.repeat(im, 2, axis=0), 2, axis=1)
+                H, W = im.shape[:2]
+                if H < h or W < w:
+                    continue
+            k = len(out)
+            y0 = (k * 173) % max(1, H - h + 1)
+            x0 = (k * 257) % max(1, W - w + 1)
+            out.append(np.ascontiguousarray(im[y0 : y0 + h, x0 : x0 + w]))
+    return out
+
+
 def report(config, value, unit, note=""):
-    print(json.dumps({"config": config, "value": round(value, 2), "unit": unit, "note": note}), flush=True)
+    print(
+        json.dumps({"config": config, "value": round(value, 2), "unit": unit, "note": note}),
+        flush=True,
+    )
+
+
+def _config5_worker(side: int) -> int:
+    """Single-raster sharded encode+decode on the 8-device virtual CPU mesh."""
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from nicetpu.dist.sharded import encode_sharded, make_mesh
+    from nicetpu.dist.sharded_decode import decode_sharded
+
+    mesh = make_mesh(8)
+    img = make_img(side, side, 5)
+    mb = img.nbytes / 1e6
+    t0 = time.perf_counter()
+    data = encode_sharded(img, mesh)
+    t_enc_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    data = encode_sharded(img, mesh)
+    t_enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dec = decode_sharded(data, mesh)
+    t_dec = time.perf_counter() - t0
+    ok = bool(np.array_equal(dec, img))
+    print(
+        json.dumps(
+            {
+                "side": side,
+                "encode_mb_s": round(mb / t_enc, 2),
+                "decode_mb_s": round(mb / t_dec, 2),
+                "bit_exact": ok,
+                "bytes": len(data),
+                "cold_encode_s": round(t_enc_cold, 1),
+            }
+        ),
+        flush=True,
+    )
+    return 0
 
 
 def main():
     from nicetpu import api
     from nicetpu.hostref import oracle
+    from nicetpu.kernels import decode3
 
     oracle.get_lib()
+    reps = 3
 
-    # 1. 512x512 round-trip (TPU encode + native decode)
+    # 1. 512x512 round-trip: TPU fused encode + TPU v3 decode (device paths
+    #    both directions), bit-exact; decode fallback count must be 0.
     img = make_img(512, 512)
     data = api.encode(img)
-    assert np.array_equal(oracle.decode_native(data), img)
-    reps = 3
+    stats: dict = {}
+    dec = decode3.decode_jax_v3(data, stats=stats)
+    assert np.array_equal(dec, img)
     t0 = time.perf_counter()
     for _ in range(reps):
         data = api.encode(img)
-        out = oracle.decode_native(data)
+        dec = decode3.decode_jax_v3(data, stats=stats)
     dt = (time.perf_counter() - t0) / reps
-    report("512x512 RGB8 round-trip", img.nbytes / 1e6 / dt, "MB/s")
+    report(
+        "512x512 RGB8 round-trip (TPU enc+dec)",
+        img.nbytes / 1e6 / dt,
+        "MB/s",
+        f"bit-exact, decode_fallbacks={stats['fallbacks']}",
+    )
 
-    # 2. Kodak-24 batch encode (per-image tables)
-    imgs = np.stack([make_img(512, 768, s) for s in range(24)])
+    # 2. Kodak-24-shape batch (24 x 512x768): REAL photo patches, device
+    #    batch encode + device batch decode with per-image tables.
+    patches = real_patches(24, 512, 768)
+    imgs = np.stack(patches)
     outs = api.encode_batch(list(imgs))
+    stats = {}
+    decs = decode3.decode_batch_jax_v3(outs, stats=stats)
+    ok = all(np.array_equal(d, i) for d, i in zip(decs, imgs))
     t0 = time.perf_counter()
     for _ in range(reps):
         outs = api.encode_batch(list(imgs))
-    dt = (time.perf_counter() - t0) / reps
-    ok = all(np.array_equal(d, i) for d, i in zip(api.decode_batch(outs), imgs))
-    report("Kodak-24 batch encode", imgs.nbytes / 1e6 / dt, "MB/s", f"bit-exact={ok}")
+    dt_e = (time.perf_counter() - t0) / reps
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        decs = decode3.decode_batch_jax_v3(outs, stats=stats)
+    dt_d = (time.perf_counter() - t0) / reps
+    ratio = imgs.nbytes / sum(len(o) for o in outs)
+    report(
+        "Kodak-24 batch encode (real photos)",
+        imgs.nbytes / 1e6 / dt_e,
+        "MB/s",
+        f"bit-exact={ok} ratio={ratio:.2f} decode_fallbacks={stats['fallbacks']}",
+    )
+    report(
+        "Kodak-24 batch decode (real photos, TPU)",
+        imgs.nbytes / 1e6 / dt_d,
+        "MB/s",
+        f"bit-exact={ok} decode_fallbacks={stats['fallbacks']}",
+    )
+    # device-compute lines (resident batch, checksum-only fetch — same
+    # convention as bench.py's device_only/decode_device: this host's tunnel
+    # moves payloads at ~25-40 MB/s, slower than the codec itself, so the
+    # e2e lines above measure the wire)
+    import jax
+    import jax.numpy as jnp
+    from nicetpu.kernels.encode2 import encode_fused
+    from nicetpu.pipeline import _w_cap, upload_batch
 
-    # 3. 4096x4096 RGBA (alpha dropped like the reference encoder)
+    N2 = 512 * 768
+    dev_imgs = upload_batch(list(imgs))
+    w_cap2 = _w_cap(N2)
+
+    def enc_csum():
+        words, small = encode_fused(dev_imgs, width=768, ndigits_cap=3, w_cap=w_cap2)
+        np.asarray(small)
+
+    enc_csum()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        enc_csum()
+    dt = (time.perf_counter() - t0) / reps
+    report(
+        "Kodak-24 device-compute encode (real photos)",
+        imgs.nbytes / 1e6 / dt,
+        "MB/s",
+        "fused dispatch, payload resident",
+    )
+
+    args2, kw2 = decode3.prepare_batch_args(outs)
+    csum2 = jax.jit(
+        lambda *a: (lambda o, k: (jnp.sum(o.astype(jnp.int32), axis=(1, 2)), k))(
+            *decode3._decode_core_v3(*a, **kw2)
+        )
+    )
+    s_d, ok_d = csum2(*args2)
+    ok_all = bool(np.asarray(ok_d).all())
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        s_d, _ = csum2(*args2)
+        np.asarray(s_d)
+    dt = (time.perf_counter() - t0) / reps
+    report(
+        "Kodak-24 device-compute decode (real photos)",
+        imgs.nbytes / 1e6 / dt,
+        "MB/s",
+        f"v3 pipeline, ok={ok_all}, raster resident",
+    )
+
+    simgs = np.stack([make_img(512, 768, s) for s in range(24)])
+    souts = api.encode_batch(list(simgs))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        souts = api.encode_batch(list(simgs))
+    dt = (time.perf_counter() - t0) / reps
+    sok = all(np.array_equal(d, i) for d, i in zip(api.decode_batch(souts), simgs))
+    report(
+        "Kodak-24 batch encode (synthetic)",
+        simgs.nbytes / 1e6 / dt,
+        "MB/s",
+        f"bit-exact={sok}",
+    )
+
+    # 3. 4096x4096 RGBA encode (alpha dropped like the reference encoder) +
+    #    2048x2048 REAL photo decode on device (production-size decode).
     big = make_img(4096, 4096, 3, rgba=True)
     data = api.encode(big)
     t0 = time.perf_counter()
     data = api.encode(big)
     dt = time.perf_counter() - t0
     ok = np.array_equal(oracle.decode_native(data), big[:, :, :3])
-    report("4096x4096 RGBA encode", big[:, :, :3].nbytes / 1e6 / dt, "MB/s", f"bit-exact={ok}")
+    report(
+        "4096x4096 RGBA encode", big[:, :, :3].nbytes / 1e6 / dt, "MB/s", f"bit-exact={ok}"
+    )
+    from nicetpu.realcorpus import load_corpus
 
-    # 4. 100-image mixed-size streamed set (native OpenMP path)
+    soccer = dict(load_corpus()).get("soccer0")
+    if soccer is not None and soccer.shape[0] >= 2048:
+        blob = oracle.encode_native(soccer)
+        stats = {}
+        dec = decode3.decode_jax_v3(blob, stats=stats)
+        ok = np.array_equal(dec, soccer)
+        t0 = time.perf_counter()
+        dec = decode3.decode_jax_v3(blob, stats=stats)
+        dt = time.perf_counter() - t0
+        report(
+            "2048x2048 real-photo TPU decode",
+            soccer.nbytes / 1e6 / dt,
+            "MB/s",
+            f"bit-exact={ok} decode_fallbacks={stats['fallbacks']}",
+        )
+        args3, kw3 = decode3.prepare_batch_args([blob])
+        csum3 = jax.jit(
+            lambda *a: (
+                lambda o, k: (jnp.sum(o.astype(jnp.int32), axis=(1, 2)), k)
+            )(*decode3._decode_core_v3(*a, **kw3))
+        )
+        s3, ok3 = csum3(*args3)
+        t0 = time.perf_counter()
+        s3, _ = csum3(*args3)
+        np.asarray(s3)
+        dt = time.perf_counter() - t0
+        report(
+            "2048x2048 device-compute decode",
+            soccer.nbytes / 1e6 / dt,
+            "MB/s",
+            f"ok={bool(np.asarray(ok3).all())}, raster resident",
+        )
+
+    # 4. 100-image mixed-size streamed set: REAL patches at mixed sizes
+    #    (native OpenMP path — mixed shapes don't batch on device).
     rng = np.random.default_rng(9)
-    stream = [
-        make_img(int(rng.integers(128, 768)), int(rng.integers(128, 768)), int(s))
-        for s in range(100)
-    ]
+    sizes = [(int(rng.integers(128, 768)), int(rng.integers(128, 768))) for _ in range(100)]
+    stream = [real_patches(1, h, w)[0] for h, w in sizes]
     t0 = time.perf_counter()
     blobs = api.encode_batch(stream, backend="native")
-    outs = api.decode_batch(blobs)
+    outs4 = api.decode_batch(blobs)
     dt = time.perf_counter() - t0
-    ok = all(np.array_equal(o, i) for o, i in zip(outs, stream))
+    ok = all(np.array_equal(o, i) for o, i in zip(outs4, stream))
     mb = sum(i.nbytes for i in stream) / 1e6
-    report("100-image streamed round-trip", mb / dt, "MB/s", f"bit-exact={ok} ({mb:.0f} MB)")
+    report(
+        "100-image streamed round-trip (real photos)",
+        mb / dt,
+        "MB/s",
+        f"bit-exact={ok} ({mb:.0f} MB)",
+    )
 
-    # 5. multi-host 16K raster: not runnable on one chip; the sharded path is
-    # validated on the virtual mesh (tests + dryrun_multichip).
-    report("16Kx16K multi-host", 0, "MB/s", "requires pod slice; sharded path dryrun-validated")
+    # 5. large single-raster sharded round-trip on the 8-device VIRTUAL CPU
+    #    mesh (no pod slice on this host; validates the multi-chip path at
+    #    scale, NOT ICI throughput).
+    side = int(os.environ.get("NICETPU_CONFIG5_SIDE", "8192"))
+    try:
+        r = subprocess.run(
+            [sys.executable, __file__, "_config5", str(side)],
+            capture_output=True,
+            text=True,
+            timeout=3000,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        res = json.loads(line)
+        report(
+            f"{side}x{side} sharded encode (8-dev VIRTUAL cpu mesh)",
+            res["encode_mb_s"],
+            "MB/s",
+            f"bit-exact={res['bit_exact']} decode={res['decode_mb_s']} MB/s "
+            "(virtual CPU devices, not ICI)",
+        )
+    except Exception as e:  # pragma: no cover
+        report(f"{side}x{side} sharded (virtual mesh)", 0, "MB/s", f"failed: {e}")
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "_config5":
+        raise SystemExit(_config5_worker(int(sys.argv[2])))
     main()

@@ -1,12 +1,16 @@
-"""Multi-host scaling of the sharded encoder (BASELINE: >=80% at N>=2 hosts).
+"""Multi-host overhead of the sharded encoder (BASELINE: >=80% at N>=2 hosts).
 
 Runs the SAME total work (one raster, 8 total virtual CPU devices) under
-jax.distributed with 1, 2 and 4 local processes and reports throughput +
-scaling efficiency.  CAVEAT (recorded with the numbers): these processes
-talk over local gRPC on one machine — real ICI/DCN latency/bandwidth
-differs; what this measures is that the collective layout (halo ppermute,
-psum histogram, all_gather run fix, replicated-reshard ordered gather)
-introduces no algorithmic serialization as process count grows.
+jax.distributed with 1, 2 and 4 local processes, each process PINNED to an
+equal slice of the physical cores (so total compute is constant and the
+ratio isolates the cross-process collective overhead).  CAVEATS recorded
+with the numbers: (a) this host has very few cores, so per-process slices
+are tiny and gRPC service threads contend with compute; (b) local gRPC is
+not ICI/DCN — real pod interconnect latency/bandwidth differs by orders of
+magnitude.  What this CAN establish is that the collective layout (halo
+ppermute, psum histogram, all_gather run fix, replicated-reshard ordered
+gather) introduces no algorithmic serialization as process count grows;
+true >=80%-scaling validation needs a real pod slice.
 
 Usage: python bench_multihost.py            (launcher; prints JSON lines)
        python bench_multihost.py worker <coord> <n> <pid> <devs> <out>
@@ -36,6 +40,10 @@ def make_image():
 
 
 def worker(coordinator: str, n_procs: int, pid: int, n_dev: int, out_file: str) -> int:
+    ncpu = os.cpu_count() or 1
+    if n_procs <= ncpu:  # pin to an equal core slice (constant total compute)
+        per = ncpu // n_procs
+        os.sched_setaffinity(0, set(range(pid * per, (pid + 1) * per)))
     os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_dev}"
     import jax
 
@@ -110,7 +118,11 @@ def main() -> int:
                     "mb_s": round(mbs, 2),
                     "efficiency_vs_1proc": round(eff, 3),
                     "bytes": r["bytes"],
-                    "note": "same total work, 8 virtual CPU devices, local gRPC (not DCN)",
+                    "note": (
+                        "same total work, 8 virtual CPU devices, core-pinned, "
+                        f"local gRPC (not DCN); host has {os.cpu_count()} cores"
+                        + (" (oversubscribed)" if n > (os.cpu_count() or 1) else "")
+                    ),
                 }
             ),
             flush=True,

@@ -1,7 +1,7 @@
 """Typed runtime configuration (SURVEY §5 — the reference has none).
 
 Format constants stay frozen in `format/constants.py`; this config only
-covers runtime choices: backend selection, mesh shape, batching, cache dirs.
+covers runtime choices: backend selection, batching, cache dirs.
 Resolution order: explicit kwargs > environment (NICETPU_*) > defaults.
 """
 
@@ -14,11 +14,9 @@ import os
 @dataclasses.dataclass
 class RuntimeConfig:
     backend: str = "auto"  # auto | jax | native | spec
-    mesh_devices: int = 0  # 0 = all visible devices
     batch_size: int = 4  # images per TPU batch dispatch (pipeline)
     workers: int = 4  # pipeline thread-pool width
     compilation_cache: str = "/root/repo/.jax_cache"
-    fold_placement: bool = True  # per-pixel record fold (encode2)
     omp_threads: int = 0  # 0 = OpenMP default
     verbose: bool = False  # stage-timing prints (cli / pipeline)
 

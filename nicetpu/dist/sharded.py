@@ -168,7 +168,7 @@ def encode_sharded(img: np.ndarray, mesh: Mesh, fetch=np.asarray) -> bytes:
     fully-addressable (single-process) arrays; dist.multihost passes a
     replicating fetch for cross-process meshes.
     """
-    from nicetpu.kernels.encode import _build_tables
+    from nicetpu.format.huffman import build_tables_host
 
     H, W, _ = img.shape
     n_dev = mesh.devices.size
@@ -179,7 +179,7 @@ def encode_sharded(img: np.ndarray, mesh: Mesh, fetch=np.asarray) -> bytes:
     bins, counts = tok(dev_img)
 
     counts_np = np.asarray(counts).astype(np.int64)
-    flat_lengths, flat_codes = _build_tables(counts_np)
+    flat_lengths, flat_codes = build_tables_host(counts_np)
     needed_bits = int((counts_np * flat_lengths.astype(np.int64)).sum())
 
     rep = NamedSharding(mesh, P())

@@ -227,3 +227,27 @@ def build_all_tables(
         flat_codes[base : base + size] = canonical_codes(lens)
         max_aobs.append(int(lens.max()))
     return flat_lengths, flat_codes, max_aobs
+
+
+def build_tables_host(flat_counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host table build for the device encoders: (flat_lengths, flat_codes).
+
+    Prefers the native C++ length builder (identical deterministic output,
+    ~10x faster on the 858-symbol histogram); falls back to the Python
+    builder when the shared library is unavailable."""
+    flat_counts = np.asarray(flat_counts)
+    try:
+        from nicetpu.hostref.oracle import code_lengths_native
+
+        flat_lengths = np.zeros(C.TOTAL_SYMBOLS, dtype=np.uint8)
+        for s in range(C.NUM_STREAMS):
+            b, sz = C.STREAM_BASE[s], C.ALPHABET_SIZES[s]
+            flat_lengths[b : b + sz] = code_lengths_native(flat_counts[b : b + sz])
+        flat_codes = np.zeros(C.TOTAL_SYMBOLS, dtype=np.uint32)
+        for s in range(C.NUM_STREAMS):
+            b, sz = C.STREAM_BASE[s], C.ALPHABET_SIZES[s]
+            flat_codes[b : b + sz] = canonical_codes(flat_lengths[b : b + sz])
+        return flat_lengths, flat_codes
+    except Exception:
+        flat_lengths, flat_codes, _ = build_all_tables(flat_counts)
+        return flat_lengths, flat_codes

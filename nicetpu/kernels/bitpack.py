@@ -73,31 +73,6 @@ def merge_pack(aob: jnp.ndarray, code: jnp.ndarray, *, levels: int):
     return buf, lens[0]
 
 
-@partial(jax.jit, static_argnames=("levels",))
-def tokens_to_code_bits(
-    streams: jnp.ndarray,  # (N, S) int32, zeroed where invalid
-    symbols: jnp.ndarray,
-    valid: jnp.ndarray,
-    aob_lut: jnp.ndarray,  # (858,) int32
-    code_lut: jnp.ndarray,  # (858,) uint32
-    *,
-    levels: int,
-):
-    """Flatten token slots to padded (2^levels,) (aob, code) arrays in serial
-    token order (SURVEY A.6) and run the merge pack."""
-    base = jnp.asarray(np.asarray(C.STREAM_BASE, dtype=np.int32))
-    bins = (base[streams] + symbols).reshape(-1)
-    v = valid.reshape(-1)
-    aob = jnp.where(v, aob_lut[bins], 0)
-    code = jnp.where(v, code_lut[bins], jnp.uint32(0))
-    M = 1 << levels
-    pad = M - aob.shape[0]
-    if pad:
-        aob = jnp.pad(aob, (0, pad))
-        code = jnp.pad(code, (0, pad))
-    return merge_pack(aob, code, levels=levels)
-
-
 def words_to_payload(words: np.ndarray, total_bits: int) -> bytes:
     """Host-side: big-endian word dump -> payload bytes + 5-byte flush tail
     [B, B, 0, 0, 0] (SURVEY A.1/A.6)."""

@@ -331,7 +331,7 @@ def _bucket(n: int, buckets=(1, 2, 3, 4, 6, 8, 12, 16)) -> int:
 def encode_batch(imgs: np.ndarray) -> list[bytes]:
     """Encode a (B, H, W, 3) uint8 batch of same-shape images on the
     accelerator, with per-image Huffman tables (BASELINE configs 2/4)."""
-    from nicetpu.kernels.encode import _build_tables
+    from nicetpu.format.huffman import build_tables_host
 
     if imgs.ndim != 4 or imgs.shape[3] != 3 or imgs.dtype != np.uint8:
         raise ValueError("expected (B, H, W, 3) uint8 batch")
@@ -350,7 +350,7 @@ def encode_batch(imgs: np.ndarray) -> list[bytes]:
         stats = np.asarray(stats_d).astype(np.int64)
 
     counts = stats[:, :-1]  # (B, 858)
-    tables = [_build_tables(counts[b]) for b in range(B)]
+    tables = [build_tables_host(counts[b]) for b in range(B)]
     aob_np = np.stack([t[0] for t in tables]).astype(np.int32)
     code_np = np.stack([t[1] for t in tables])
     needed_bits = (counts * aob_np.astype(np.int64)).sum(axis=1)

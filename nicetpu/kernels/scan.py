@@ -21,14 +21,3 @@ def suffix_min(x: jnp.ndarray) -> jnp.ndarray:
         x = jnp.minimum(x, shifted)
         s *= 2
     return x
-
-
-def prefix_or(x: jnp.ndarray) -> jnp.ndarray:
-    """out[i] = OR of x[:i+1] via log2(n) shift-or steps (1-D, integer)."""
-    n = x.shape[0]
-    s = 1
-    while s < n:
-        shifted = jnp.concatenate([jnp.zeros(min(s, n), x.dtype), x[:-s]])
-        x = x | shifted
-        s *= 2
-    return x

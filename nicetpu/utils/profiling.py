@@ -34,15 +34,3 @@ class StageTimer:
         if nbytes and total > 0:
             out["MB/s"] = round(nbytes / 1e6 / total, 2)
         return json.dumps(out)
-
-
-@contextlib.contextmanager
-def device_trace(log_dir: str = "/tmp/nicetpu_trace"):
-    """Capture a jax.profiler trace (view with TensorBoard)."""
-    import jax
-
-    jax.profiler.start_trace(log_dir)
-    try:
-        yield log_dir
-    finally:
-        jax.profiler.stop_trace()

@@ -28,10 +28,10 @@ def _images(seed=0, count=10):
 
 class TestJaxEncoder:
     def test_byte_identical_to_spec(self):
-        from nicetpu.kernels.encode import encode_jax
+        from nicetpu.kernels.encode2 import encode_jax_v2
 
         for img in _images(seed=10):
-            assert encode_jax(img) == codec.encode(img)
+            assert encode_jax_v2(img) == codec.encode(img)
 
     def test_tokenize_matches_spec_plan(self):
         import jax.numpy as jnp

@@ -13,12 +13,12 @@ class TestConfig:
     def test_env_and_overrides(self, monkeypatch):
         monkeypatch.setenv("NICETPU_BACKEND", "native")
         monkeypatch.setenv("NICETPU_BATCH_SIZE", "8")
-        monkeypatch.setenv("NICETPU_FOLD_PLACEMENT", "false")
-        cfg = RuntimeConfig.from_env(mesh_devices=4)
+        monkeypatch.setenv("NICETPU_VERBOSE", "true")
+        cfg = RuntimeConfig.from_env(workers=2)
         assert cfg.backend == "native"
         assert cfg.batch_size == 8
-        assert cfg.fold_placement is False
-        assert cfg.mesh_devices == 4
+        assert cfg.verbose is True
+        assert cfg.workers == 2
 
     def test_unknown_field_rejected(self):
         import pytest
