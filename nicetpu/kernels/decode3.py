@@ -280,6 +280,39 @@ def _walk_kernel(
     base_bit = chunk_id * chunk_bits
     bound = base_bit + chunk_bits
 
+    # Block-level early exit: once every lane of this chunk block is frozen
+    # (crossed its chunk boundary or the payload end), the remaining SBLK
+    # blocks only stamp dead records — on typical photo content (avg group
+    # >= 2*steps_div bits) that skips ~half the walk compute.
+    p0 = p_scr[:]
+    any_alive = jnp.any((p0 < bound) & (p0 < wbits))
+
+    @pl.when(jnp.logical_not(any_alive))
+    def _():
+        neg = jnp.full((8, 128), -1, jnp.int32)
+        zero = jnp.zeros((8, 128), jnp.int32)
+        for i in range(SBLK):
+            pos_out[0, 0, 0, i] = neg
+            sym_out[0, 0, 0, i] = zero
+            i12_out[0, 0, 0, i] = zero
+            i34_out[0, 0, 0, i] = zero
+        exit_out[0, 0] = p0
+
+    @pl.when(any_alive)
+    def _walk_block():
+        _walk_block_body(
+            wbits_ref, entries_ref, wblk_ref, af_ref, present_ref, ib_ref,
+            pfx_ref, pos_out, sym_out, i12_out, i34_out, exit_out, p_scr,
+            bound=bound, wbits=wbits, base_bit=base_bit,
+            chunk_bits=chunk_bits, maxl=maxl, wrows=wrows,
+        )
+
+
+def _walk_block_body(
+    wbits_ref, entries_ref, wblk_ref, af_ref, present_ref, ib_ref, pfx_ref,
+    pos_out, sym_out, i12_out, i34_out, exit_out, p_scr,
+    *, bound, wbits, base_bit, chunk_bits, maxl, wrows,
+):
     wblk = wblk_ref[0, 0]  # (WROWS, 8, 128)
 
     def tget(table, s, l):

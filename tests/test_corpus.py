@@ -58,3 +58,24 @@ class TestModeStats:
         n_modes = st["back_ref"] + st["rgb"] + st["luma"] + st["small_diff"] + st["luma2"]
         assert n_modes == plan.valid[:, 0].sum()
         assert st["total_tokens"] == plan.valid.sum()
+
+
+class TestRealCorpus:
+    def test_real_photo_roundtrip_native_vs_spec(self):
+        """Real photographic content (SURVEY §4: corpus round-trip on real
+        images, not sinusoids): native and spec encoders byte-identical,
+        both decoders bit-exact, on small crops of every corpus image."""
+        from nicetpu.realcorpus import load_corpus
+
+        corpus = load_corpus(max_dim=96)
+        assert len(corpus) >= 4, "real corpus images missing from environment"
+        for name, img in corpus:
+            d_native = api.encode(img, backend="native")
+            d_spec = api.encode(img, backend="spec")
+            assert d_native == d_spec, name
+            np.testing.assert_array_equal(
+                api.decode(d_native, backend="native"), img, err_msg=name
+            )
+            np.testing.assert_array_equal(
+                api.decode(d_native, backend="spec"), img, err_msg=name
+            )
