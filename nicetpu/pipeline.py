@@ -18,6 +18,7 @@ correctness never depends on the fast path.
 
 from __future__ import annotations
 
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Sequence
 
@@ -35,6 +36,37 @@ DEFAULT_BATCH = 4
 DEFAULT_WORKERS = 4
 
 
+def _transient_errors() -> tuple:
+    """Exception types the tunnel/runtime throws transiently (worth a retry
+    + native fallback).  Anything else — e.g. a kernel asserting, a shape
+    bug — PROPAGATES: a real defect must surface as a failure, not as an
+    invisible perf cliff (VERDICT r3 weak #4)."""
+    import jax
+
+    return (jax.errors.JaxRuntimeError, OSError, ConnectionError)
+
+
+# Device-fallback observability (VERDICT r3 next #5): every silent routing
+# away from the accelerator is counted here; `pop_stats` hands the counters
+# to API callers / bench, which assert fallbacks == 0 on valid input.
+_STATS_LOCK = threading.Lock()
+_STATS = {"tpu_fallbacks": 0, "tpu_retries": 0, "overflow_fallbacks": 0}
+
+
+def _count(key: str, n: int = 1) -> None:
+    with _STATS_LOCK:
+        _STATS[key] += n
+
+
+def pop_stats() -> dict:
+    """Return and reset the pipeline's device-fallback counters."""
+    with _STATS_LOCK:
+        out = dict(_STATS)
+        for k in _STATS:
+            _STATS[k] = 0
+    return out
+
+
 def _w_cap(n_pixels: int) -> int:
     return n_pixels * CAP_BITS_PER_PIXEL // 32 + 1024
 
@@ -44,13 +76,16 @@ def encode_batch_fused(imgs: Sequence[np.ndarray], _retries: int = 2) -> list[by
     per-image Huffman tables; two D2H messages total (smalls + payloads).
 
     Self-healing: the experimental tunnel backend sporadically fails a fetch
-    under concurrent load; the whole batch is retried, then falls back to
-    the byte-identical native encoder."""
+    under concurrent load; on a TRANSIENT runtime error the whole batch is
+    retried, then falls back to the byte-identical native encoder (counted
+    in `pop_stats`).  Non-transient exceptions propagate."""
     try:
         return _encode_batch_fused(imgs)
-    except Exception:
+    except _transient_errors():
         if _retries > 0:
+            _count("tpu_retries")
             return encode_batch_fused(imgs, _retries - 1)
+        _count("tpu_fallbacks")
         from nicetpu.hostref import oracle
 
         return [oracle.encode_native(im) for im in imgs]
@@ -72,14 +107,17 @@ def encode_batch_resident(flat_dev, shape, imgs=None, _retries: int = 2) -> list
     """Fused encode of an already-resident (B, N, 3) device batch.
 
     shape: the (H, W, 3) image shape.  imgs (host copies) are only needed
-    for the rare capacity-overflow fallback to the native encoder."""
+    for the rare capacity-overflow fallback to the native encoder.  Only
+    TRANSIENT runtime errors retry/fall back (counted in `pop_stats`)."""
     try:
         return _encode_batch_core(flat_dev, shape, imgs)
-    except Exception:
+    except _transient_errors():
         if _retries > 0:
+            _count("tpu_retries")
             return encode_batch_resident(flat_dev, shape, imgs, _retries - 1)
         if imgs is None:
             raise
+        _count("tpu_fallbacks")
         from nicetpu.hostref import oracle
 
         return [oracle.encode_native(im) for im in imgs]
@@ -110,7 +148,7 @@ def _encode_batch_core(flat, shape, imgs=None) -> list[bytes]:
     if kmax:
         try:
             words = np.asarray(words_d[:, :kmax]).astype(np.uint32)
-        except Exception:
+        except _transient_errors():
             # transient backend error under concurrent first-compiles; the
             # full fetch needs no fresh executable
             words = np.asarray(words_d)[:, :kmax].astype(np.uint32)
@@ -119,6 +157,7 @@ def _encode_batch_core(flat, shape, imgs=None) -> list[bytes]:
     file_hdr = headers.pack_file_header(W, H, 3)
     for b in range(B):
         if ovf[b]:
+            _count("overflow_fallbacks")
             from nicetpu.hostref import oracle
 
             host_img = (
@@ -159,10 +198,9 @@ def roundtrip_hybrid(
     Returns (results ordered like batches, stats).  Transient device/tunnel
     errors retry once, then the batch is re-routed to the host path —
     correctness never depends on the accelerator (per-batch error isolation,
-    SURVEY §5 failure-detection row).
+    SURVEY §5 failure-detection row).  Non-transient exceptions (a kernel
+    bug) PROPAGATE out of the worker threads and fail the call.
     """
-    import threading
-
     from nicetpu.hostref import oracle
 
     n = len(batches)
@@ -206,6 +244,8 @@ def roundtrip_hybrid(
         results[i] = list(zip(datas, decs))
         return True
 
+    hard_errors: list[BaseException] = []
+
     def tpu_worker() -> None:
         while True:
             i = pop_front()
@@ -213,10 +253,15 @@ def roundtrip_hybrid(
                 return
             try:
                 ok = do_tpu(i)
-            except Exception:
+            except _transient_errors():
                 with lock:
                     stats["tpu_errors"] += 1
                 ok = False
+            except Exception as e:  # kernel bug: fail the call, loudly
+                with lock:
+                    hard_errors.append(e)
+                do_cpu(i)  # keep results complete for post-mortem
+                return
             if ok:
                 with lock:
                     stats["tpu_batches"] += 1
@@ -240,6 +285,8 @@ def roundtrip_hybrid(
         t.start()
     for t in threads:
         t.join()
+    if hard_errors:
+        raise hard_errors[0]
     return results, stats
 
 
