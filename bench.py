@@ -172,7 +172,7 @@ def main() -> int:
                 args, kw = decode3.prepare_batch_args(blob8)
                 csum = jax.jit(
                     lambda *a: (
-                        lambda o, k: (jnp.sum(o.astype(jnp.int32), axis=(1, 2)), k)
+                        lambda o, k, g: (jnp.sum(o.astype(jnp.int32), axis=(1, 2)), k)
                     )(*decode3._decode_core_v3(*a, **kw))
                 )
                 s_d, ok_d = csum(*args)

@@ -197,7 +197,7 @@ def main():
 
     args2, kw2 = decode3.prepare_batch_args(outs)
     csum2 = jax.jit(
-        lambda *a: (lambda o, k: (jnp.sum(o.astype(jnp.int32), axis=(1, 2)), k))(
+        lambda *a: (lambda o, k, g: (jnp.sum(o.astype(jnp.int32), axis=(1, 2)), k))(
             *decode3._decode_core_v3(*a, **kw2)
         )
     )
@@ -260,7 +260,7 @@ def main():
         args3, kw3 = decode3.prepare_batch_args([blob])
         csum3 = jax.jit(
             lambda *a: (
-                lambda o, k: (jnp.sum(o.astype(jnp.int32), axis=(1, 2)), k)
+                lambda o, k, g: (jnp.sum(o.astype(jnp.int32), axis=(1, 2)), k)
             )(*decode3._decode_core_v3(*a, **kw3))
         )
         s3, ok3 = csum3(*args3)

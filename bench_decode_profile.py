@@ -82,7 +82,7 @@ def main() -> int:
     # --- full decode incl. recon, checksum fetch only
     csum = jax.jit(
         lambda *a: (
-            lambda o, k: (jnp.sum(o.astype(jnp.int32), axis=(1, 2)), k)
+            lambda o, k, g: (jnp.sum(o.astype(jnp.int32), axis=(1, 2)), k)
         )(*d3._decode_core_v3(*a, **kw))
     )
     s_d, ok_d = csum(*args)
@@ -112,7 +112,7 @@ def main() -> int:
         pos, sym, i12, i34, ex2 = walk(e)
         bins = d3._payload_bins(sym, i12, i34)
         syms = [d3._sym_join(b, sym_tbl_) for b in bins]
-        rec, dst, ok_cov = d3.assemble_v3(
+        rec, dst, (ok_cov, _okref) = d3.assemble_v3(
             pos, sym, syms[0], syms[1], syms[2], syms[3], H * W, W, wbits_
         )
         form, delta, refoff = d3.place_and_unpack(rec, dst, H * W, W)

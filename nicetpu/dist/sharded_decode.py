@@ -257,7 +257,7 @@ def decode_batch_sharded(datas: list[bytes], mesh: Mesh) -> list[np.ndarray]:
     args, kw = d3.prepare_batch_args(datas)
     shard = NamedSharding(mesh, P("d"))
     args = tuple(jax.device_put(a, shard) for a in args)
-    out, ok = d3._device_decode_v3(*args, **kw)
+    out, ok, _gates = d3._device_decode_v3(*args, **kw)
     ok_np = np.asarray(ok)
     out_np = np.asarray(out)
     from nicetpu.format import headers

@@ -387,11 +387,15 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
-def walk_pallas(words_blk, entries, af, present, ib, pfx_sorted, wbits, *, chunk_bits, steps, maxl):
+def walk_pallas(
+    words_blk, entries, af, present, ib, pfx_sorted, wbits,
+    *, chunk_bits, steps, maxl, interpret: bool = False,
+):
     """Batched Pallas walk.  words_blk (B, KB, WROWS, 8, 128) int32;
     entries (B, KB, 8, 128) int32; af/present/ib (B, 10, 32) int32;
     pfx_sorted (B, 1, 16) int32; wbits (B,) int32 (scalar-prefetched).
-    Returns pos/sym/i12/i34 (B, KB, SB, SBLK, 8, 128) and exits (B, KB, 8, 128)."""
+    Returns pos/sym/i12/i34 (B, KB, SB, SBLK, 8, 128) and exits (B, KB, 8, 128).
+    interpret=True runs in Pallas interpret mode (CPU parity tests)."""
     B, KB = entries.shape[:2]
     SB = steps // SBLK
     rec_shape = (B, KB, SB, SBLK, 8, 128)
@@ -423,6 +427,7 @@ def walk_pallas(words_blk, entries, af, present, ib, pfx_sorted, wbits, *, chunk
     outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
+        interpret=interpret,
         out_shape=(
             jax.ShapeDtypeStruct(rec_shape, jnp.int32),
             jax.ShapeDtypeStruct(rec_shape, jnp.int32),
@@ -508,12 +513,19 @@ def _ref_index_table(width: int):
 
 
 def assemble_v3(pos, sym, p1, p2, p3, p4, n_pixels: int, width: int, wbits):
-    """Slot records (serial order) -> (rec (B,S) int32, dst (B,S), ok (B,)).
+    """Slot records (serial order) -> (rec (B,S) int32, dst (B,S),
+    (ok_cov, ok_ref) (B,) gate flags).
 
     pos/sym: (B, S); p1..p4: payload SYMBOLS (post-join).  Implements the
     decoder state machine of ref code.rs:573-684 in slot space: run values
     via digit ordinals (ref code.rs:661-680), pixel starts via one coverage
-    cumsum, transfer forms per mode (ref code.rs:576-651)."""
+    cumsum, transfer forms per mode (ref code.rs:576-651).
+
+    Gates: ok_cov — the decoded pixel coverage tiles [0, N) exactly
+    (truncated/corrupt streams under-cover); ok_ref — every BACK_REF index
+    is < NUM_BACK_REF (stream 9's alphabet has 11 symbols but only 5 are
+    placeable; the reference would panic, ref code.rs:634, and the spec
+    decoder raises — the device path must reject, not misdecode)."""
     N, W = n_pixels, width
     valid = (pos >= 0) & (pos < wbits[:, None])
     is_pfx = valid & (sym < C.PREFIX_RUN_BASE)
@@ -539,9 +551,12 @@ def assemble_v3(pos, sym, p1, p2, p3, p4, n_pixels: int, width: int, wbits):
     # coverage must tile [0, N) exactly: cumsum construction is gapless, so
     # the only failure is total < N (truncated walk / corrupt stream)
     ok_cov = incl[:, -1] >= N
+    ok_ref = ~jnp.any(
+        real & (sym == C.PREFIX_BACK_REF) & (p1 >= C.NUM_BACK_REF), axis=1
+    )
 
     rec, dst = slot_records(is_pfx, sym, p1, p2, p3, p4, start, real, N, W)
-    return rec, dst, ok_cov
+    return rec, dst, (ok_cov, ok_ref)
 
 
 def slot_records(is_pfx, sym, p1, p2, p3, p4, start, real, n_pixels: int, width: int):
@@ -667,7 +682,10 @@ def _decode_core_v3(
     words (B, Wn) uint32-as-int32 payload words (Wn >= nch_pad*chunk_bits/32
     + WROWS, nch_pad a CPB multiple); wbits (B,) int32; af/present/ib
     (B, 10, 32) int32; pfx (B, 1, 16) int32; sym_tbl (B, 858) int32.
-    Returns (out (B, N, 3) uint8, ok (B,))."""
+    Returns (out (B, N, 3) uint8, ok (B,), gates (B, 4) bool) with gates =
+    [consistency, crossing, coverage, backref-index] (ok = AND of all;
+    per-gate flags let tests pin WHICH defense caught a corruption class,
+    VERDICT r3 next #7)."""
     B, Wn = words.shape
     wpc = chunk_bits // 32
     nch_pad = (Wn - _wrows(chunk_bits)) // wpc
@@ -734,7 +752,7 @@ def _decode_core_v3(
     bins = _payload_bins(sym, i12, i34)
     syms = [_sym_join(b, sym_tbl) for b in bins]
 
-    rec, dst, ok_cov = assemble_v3(
+    rec, dst, (ok_cov, ok_ref) = assemble_v3(
         pos, sym, syms[0], syms[1], syms[2], syms[3], n_pixels, width, wbits
     )
     form, delta, refoff = place_and_unpack(rec, dst, n_pixels, width)
@@ -746,7 +764,8 @@ def _decode_core_v3(
         out = jax.vmap(
             lambda f, d, r: reconstruct_rows(f, d, r, n_pixels, width, segs)
         )(form, delta, refoff)
-    return out.astype(jnp.uint8), ok_consist & ok_cross & ok_cov
+    gates = jnp.stack([ok_consist, ok_cross, ok_cov, ok_ref], axis=1)
+    return out.astype(jnp.uint8), jnp.all(gates, axis=1), gates
 
 
 _STATIC_V3 = ("n_pixels", "width", "chunk_bits", "steps", "maxl", "segs", "rounds", "serial_recon")
@@ -879,8 +898,10 @@ def decode_batch_jax_v3(
     image the device pipeline cannot verify (`ok` False: corrupt stream,
     self-sync miss, step-budget truncation) after the last config falls back
     to the host decoder.  Pass `stats` to receive {"fallbacks": int,
-    "retries": int, "ok": list[bool]} — bench/tests assert no silent
-    fallback on valid streams (VERDICT r2 weak #2)."""
+    "retries": int, "ok": list[bool], "gates": list[[consistency,
+    crossing, coverage, backref] bools] from the LAST attempted config} —
+    bench/tests assert no silent fallback on valid streams and pin which
+    gate rejected a corrupt one (VERDICT r2 weak #2, r3 next #7)."""
     from nicetpu.format import headers, huffman
 
     if not datas:
@@ -896,9 +917,10 @@ def decode_batch_jax_v3(
     args, base_kw = prepare_batch_args(datas, chunk_bits=chunk_bits)
     out_np = None
     ok_np = np.zeros(len(datas), bool)
+    gates_np = None
     retries = 0
     for steps_div, rounds in ladder:
-        out, ok = _device_decode_v3(
+        out, ok, gates = _device_decode_v3(
             *args,
             **{
                 **base_kw,
@@ -909,6 +931,7 @@ def decode_batch_jax_v3(
         )
         ok_new = np.asarray(ok)
         out_new = np.asarray(out)
+        gates_np = np.asarray(gates)
         if out_np is None:
             out_np, ok_np = out_new, ok_new
         else:
@@ -924,6 +947,7 @@ def decode_batch_jax_v3(
         stats["fallbacks"] = int((~ok_np).sum())
         stats["retries"] = retries
         stats["ok"] = [bool(x) for x in ok_np]
+        stats["gates"] = [[bool(g) for g in row] for row in gates_np]
     result = []
     for i, d in enumerate(datas):
         if bool(ok_np[i]):

@@ -537,11 +537,17 @@ def reconstruct_rows(
             nt = jnp.where(f == F_ADD2, t2, jnp.where(f == F_ADD3, t3, t1))
             return (new, r1, r2, nt, t1, t2), None
 
+        # Inner scans are fully unrolled: at W=512/segs=32 the three nested
+        # loops are 64 sequential XLA while-iterations per row, each with
+        # ~1-2 us of loop overhead — measured ~59 us/row at batch 8, i.e.
+        # ~30 ms of the whole decode.  Unrolling turns each row body into
+        # straight-line code (lengths are static and small).
         (r1, r2, r3, t1, t2, t3), _ = jax.lax.scan(
             build_step,
             (cand, cand, cand,
              jnp.zeros(S, jnp.int32), jnp.ones(S, jnp.int32), jnp.full(S, 2, jnp.int32)),
             (fT, dT, cvT, abT),
+            unroll=True,
         )
 
         # resolve: boundary triples across segments (one-hot LUT application
@@ -559,7 +565,9 @@ def reconstruct_rows(
             new = jnp.stack([ev(r1s, t1s), ev(r2s, t2s), ev(r3s, t3s)])
             return new, trip
 
-        _, trips = jax.lax.scan(resolve_step, b0, (r1, r2, r3, t1, t2, t3))
+        _, trips = jax.lax.scan(
+            resolve_step, b0, (r1, r2, r3, t1, t2, t3), unroll=True
+        )
         # trips[s] = (3 lags, 3 ch) true boundary values at entry of segment s
 
         # replay with true inputs
@@ -570,7 +578,8 @@ def reconstruct_rows(
             return (new, v1, v2), new
 
         _, rowv = jax.lax.scan(
-            replay_step, (trips[:, 0], trips[:, 1], trips[:, 2]), (fT, dT, cvT, abT)
+            replay_step, (trips[:, 0], trips[:, 1], trips[:, 2]), (fT, dT, cvT, abT),
+            unroll=True,
         )
         row = jnp.swapaxes(rowv, 0, 1).reshape(W, 3)
 
@@ -594,7 +603,9 @@ def reconstruct_rows(
         return jnp.concatenate([prev4[W:], row]), row
 
     init = jnp.zeros((4 * W, 3), jnp.int32) if prev4 is None else prev4
-    tail, rows = jax.lax.scan(row_body, init, (f_rows, d_rows, ro_rows))
+    tail, rows = jax.lax.scan(
+        row_body, init, (f_rows, d_rows, ro_rows), unroll=2
+    )
     if prev4 is None:
         return rows.reshape(N, 3)
     return rows.reshape(N, 3), tail

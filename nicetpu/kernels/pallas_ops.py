@@ -93,14 +93,21 @@ def _hist_kernel(bins_ref, out_ref):
     out_ref[:] += acc.astype(jnp.int32)
 
 
-@jax.jit
-def histogram_pallas(bins: jnp.ndarray) -> jnp.ndarray:
-    """(B, M) int32 bins (invalid entries >= 858) -> (B, 858) int32 counts."""
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def histogram_pallas(bins: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+    """(B, M) int32 bins (invalid entries >= 858) -> (B, 858) int32 counts.
+
+    interpret=True runs the kernel in Pallas interpret mode (CPU-testable —
+    VERDICT r3 next #3); results are identical."""
     B, M = bins.shape
     tiles, m_pad, blocks = _to_tiles(bins)
     rows = m_pad // 128
     out = pl.pallas_call(
         _hist_kernel,
+        interpret=interpret,
         grid=(B, blocks),
         in_specs=[
             pl.BlockSpec(
@@ -182,8 +189,10 @@ def _value_join_kernel(bins_ref, table_ref, val_ref):
     val_ref[:] = jnp.concatenate(rows, axis=0)
 
 
-@jax.jit
-def value_join_pallas(bins: jnp.ndarray, val_tbl: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("interpret",))
+def value_join_pallas(
+    bins: jnp.ndarray, val_tbl: jnp.ndarray, *, interpret: bool = False
+) -> jnp.ndarray:
     """MXU value lookup with per-image tables (16-bit values).
 
     bins (B, M) int32 (invalid entries >= 858 return 0); val_tbl (B, 858)
@@ -202,6 +211,7 @@ def value_join_pallas(bins: jnp.ndarray, val_tbl: jnp.ndarray) -> jnp.ndarray:
     rows = m_pad // 128
     val = pl.pallas_call(
         _value_join_kernel,
+        interpret=interpret,
         grid=(B, blocks),
         in_specs=[
             pl.BlockSpec(
@@ -223,9 +233,10 @@ def value_join_pallas(bins: jnp.ndarray, val_tbl: jnp.ndarray) -> jnp.ndarray:
     return val.reshape(B, m_pad)[:, :M]
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("interpret",))
 def table_join_pallas(
-    bins: jnp.ndarray, aob_tbl: jnp.ndarray, code_tbl: jnp.ndarray
+    bins: jnp.ndarray, aob_tbl: jnp.ndarray, code_tbl: jnp.ndarray,
+    *, interpret: bool = False,
 ):
     """MXU table lookup with per-image tables.
 
@@ -249,6 +260,7 @@ def table_join_pallas(
     rows = m_pad // 128
     aob, code = pl.pallas_call(
         _join_kernel,
+        interpret=interpret,
         grid=(B, blocks),
         in_specs=[
             pl.BlockSpec(
@@ -314,7 +326,9 @@ def _fold_kernel(aob_ref, code_ref, rec_ref, k_ref, *, S: int, capw: int):
     k_ref[0, 0] = cum
 
 
-def fold_records_pallas(aob2: jnp.ndarray, code2: jnp.ndarray, *, capw: int):
+def fold_records_pallas(
+    aob2: jnp.ndarray, code2: jnp.ndarray, *, capw: int, interpret: bool = False
+):
     """Batched group-record fold (encode2's grouped placement, hot path).
 
     aob2 (B, M, S) int32 per-slot code lengths; code2 (B, M, S) int32 (codes
@@ -333,6 +347,7 @@ def fold_records_pallas(aob2: jnp.ndarray, code2: jnp.ndarray, *, capw: int):
     c = jnp.transpose(code2, (0, 2, 1)).reshape(B, S, MR, 128)
     rec, k = pl.pallas_call(
         _partial(_fold_kernel, S=S, capw=capw),
+        interpret=interpret,
         grid=(B, MR // 8),
         in_specs=[
             pl.BlockSpec((1, S, 8, 128), lambda b, i: (b, 0, i, 0)),

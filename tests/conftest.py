@@ -21,6 +21,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent XLA compile cache: the unrolled decode selects compile slowly on
+# CPU (VERDICT r3 weak #8 — suite runtime doubled); cached executables make
+# repeat pytest runs minutes faster.  Safe: keyed by HLO hash.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 assert len(jax.devices()) >= 8, (
     "test environment must expose 8 virtual CPU devices; got "
     f"{jax.devices()} — sharded tests cannot be skipped silently"
