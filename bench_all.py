@@ -45,21 +45,23 @@ def real_patches(n: int, h: int, w: int) -> list[np.ndarray]:
     corpus = [im for _, im in load_corpus()]
     out: list[np.ndarray] = []
     while len(out) < n:
+        added = 0
         for im in corpus:
             if len(out) >= n:
                 break
             H, W = im.shape[:2]
-            if H < h or W < w:
-                # upsample small camera shots by pixel-doubling (still photo
-                # statistics, unlike sinusoids)
+            while H < h or W < w:
+                # upsample small camera shots by pixel-doubling until the
+                # patch fits (still photo statistics, unlike sinusoids)
                 im = np.repeat(np.repeat(im, 2, axis=0), 2, axis=1)
                 H, W = im.shape[:2]
-                if H < h or W < w:
-                    continue
             k = len(out)
             y0 = (k * 173) % max(1, H - h + 1)
             x0 = (k * 257) % max(1, W - w + 1)
             out.append(np.ascontiguousarray(im[y0 : y0 + h, x0 : x0 + w]))
+            added += 1
+        if not added:  # empty corpus: fail loudly instead of spinning
+            raise RuntimeError("real_patches: corpus produced no usable image")
     return out
 
 

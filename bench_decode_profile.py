@@ -100,20 +100,20 @@ def main() -> int:
                 blkx, d3.chunk_layout(ee, KB), af_, present_, ib_, pfx_, wbits_,
                 chunk_bits=chunk_bits, steps=steps, maxl=maxl,
             )
-            return (
-                d3.flatten_records(pos), d3.flatten_records(sym),
-                d3.flatten_records(i12), d3.flatten_records(i34),
-                d3.chunk_unlayout(exits),
-            )
+            return pos, sym, i12, i34, d3.chunk_unlayout(exits)
 
         for _ in range(kw["rounds"] - 1):
             _, _, _, _, exx = walk(e)
             e = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), exx[:, :-1]], axis=1)
         pos, sym, i12, i34, ex2 = walk(e)
         bins = d3._payload_bins(sym, i12, i34)
-        syms = [d3._sym_join(b, sym_tbl_) for b in bins]
+        syms = [
+            d3._sym_join(b.reshape(B, -1), sym_tbl_).reshape(sym.shape)
+            for b in bins
+        ]
         rec, dst, (ok_cov, _okref) = d3.assemble_v3(
-            pos, sym, syms[0], syms[1], syms[2], syms[3], H * W, W, wbits_
+            pos, sym, syms[0], syms[1], syms[2], syms[3], H * W, W, wbits_,
+            cumsum=d3._cumsum_walk, cummax=d3._cummax_walk,
         )
         form, delta, refoff = d3.place_and_unpack(rec, dst, H * W, W)
         return jnp.sum(form), jnp.sum(delta), ok_cov

@@ -39,8 +39,9 @@ def _unpack_rec(recN, width: int):
     offs = _const_offsets(width)
     form = recN & 7
     refi = (recN >> 3) & 15
+    # channel-planar (3, n_local) — see decode_dev.reconstruct_rows layout
     delta = jnp.stack(
-        [(recN >> 7) & 255, (recN >> 15) & 255, (recN >> 23) & 255], axis=-1
+        [(recN >> 7) & 255, (recN >> 15) & 255, (recN >> 23) & 255], axis=0
     )
     refoff = _sel(refi, (0,) + tuple(offs))
     return form, delta, refoff
@@ -53,7 +54,8 @@ def _decode_shard_body(
     """shard_map body: one device's slice of the single-raster decode.
 
     words_l: (nlc * chunk_bits/32 + wrows,) int32 local words (with halo);
-    tables replicated.  Returns (rows_block (n_local, 3) uint8, ok (1,))."""
+    tables replicated.  Returns (rows_block (3, n_local) uint8 channel-
+    planar, ok (1,))."""
     dev = jax.lax.axis_index("d")
     words_l = words_l.reshape(-1)  # shard_map local leading dim
     wbits = wbits1[0]
@@ -147,8 +149,8 @@ def _decode_shard_body(
     )
     form, delta, refoff = _unpack_rec(recN, width)
 
-    carry = jnp.zeros((4 * width, 3), jnp.int32)
-    out = jnp.zeros((n_local, 3), jnp.int32)
+    carry = jnp.zeros((3, 4 * width), jnp.int32)
+    out = jnp.zeros((3, n_local), jnp.int32)
     for stage in range(n_dev):
         blk, tail = reconstruct_rows(
             form, delta, refoff, n_local, width, segs, prev4=carry
@@ -192,7 +194,7 @@ def build_sharded_decode(
             body,
             mesh=mesh,
             in_specs=(P("d"), P(), P(), P(), P(), P(), P()),
-            out_specs=(P("d"), P("d")),
+            out_specs=(P(None, "d"), P("d")),
             check_vma=False,
         )
     )
@@ -208,15 +210,21 @@ def decode_sharded(data: bytes, mesh: Mesh, *, rounds: int = 3) -> np.ndarray:
     if channels != 3:
         raise ValueError("only channels=3 decode is defined (SURVEY A.8.3)")
     n_dev = mesh.devices.size
+    if H % n_dev or (H // n_dev) < 4 or W < C.MIN_WIDTH:
+        # unshardable geometry on this mesh: decode on the host instead of
+        # failing (ADVICE r3) — same contract as the gate-failure fallback
+        from nicetpu.spec import codec
+
+        return codec.decode(data)
     flat_lengths = headers.parse_stream_headers(data[C.FILE_HEADER_BYTES :])
     huffman.validate_flat_lengths(flat_lengths)
-    af, present, ib, pfx16, sym_tbl, max_len = d3.prepare_tables_v3(flat_lengths)
+    af, present, ib, pfx16, sym_tbl, stream_max = d3.prepare_tables_v3(flat_lengths)
 
     payload = data[C.FILE_HEADER_BYTES + C.STREAM_HEADERS_BYTES : len(data) - 4]
     wbits = len(payload) * 8
     chunk_bits = d3.CHUNK_BITS
     fn, nlc, steps = build_sharded_decode(
-        mesh, H, W, wbits, rounds=rounds, maxl=d3.pick_maxl(max_len)
+        mesh, H, W, wbits, rounds=rounds, maxl=d3.pick_maxl_streams(stream_max)
     )
     wpc = chunk_bits // 32
     wrows = d3._wrows(chunk_bits)
@@ -244,29 +252,64 @@ def decode_sharded(data: bytes, mesh: Mesh, *, rounds: int = 3) -> np.ndarray:
         from nicetpu.spec import codec
 
         return codec.decode(data)
-    return np.asarray(out).reshape(H, W, 3)
+    # device output is channel-planar (3, N); untangle on host
+    return np.asarray(out).reshape(3, H, W).transpose(1, 2, 0)
 
 
-def decode_batch_sharded(datas: list[bytes], mesh: Mesh) -> list[np.ndarray]:
+def decode_batch_sharded(
+    datas: list[bytes], mesh: Mesh, *, stats: dict | None = None
+) -> list[np.ndarray]:
     """Decode a same-shape batch sharded one-image-per-device (data
     parallelism over images — every v3 phase is batch-parallel, so XLA
-    partitions the jit with no collectives)."""
+    partitions the jit with no collectives).
+
+    Retries through the same (steps_div, rounds) LADDER as
+    `decode_batch_jax_v3` before falling back per image to the host spec
+    decoder; pass `stats` to receive {"fallbacks", "retries", "ok"}
+    (ADVICE r3: the fast-config-only version silently took the slow host
+    path on self-sync-hard images and reported nothing)."""
     n_dev = mesh.devices.size
     if len(datas) % n_dev:
         raise ValueError(f"batch size must be a multiple of {n_dev} devices")
-    args, kw = d3.prepare_batch_args(datas)
+    args, base_kw = d3.prepare_batch_args(datas)
     shard = NamedSharding(mesh, P("d"))
     args = tuple(jax.device_put(a, shard) for a in args)
-    out, ok, _gates = d3._device_decode_v3(*args, **kw)
-    ok_np = np.asarray(ok)
-    out_np = np.asarray(out)
+    out_np = None
+    ok_np = np.zeros(len(datas), bool)
+    retries = 0
+    for steps_div, rounds in d3.LADDER:
+        out, ok, _gates = d3._device_decode_v3(
+            *args,
+            **{
+                **base_kw,
+                "steps": d3._steps(base_kw["chunk_bits"], steps_div),
+                "rounds": rounds,
+            },
+        )
+        ok_new = np.asarray(ok)
+        out_new = np.asarray(out)
+        if out_np is None:
+            out_np, ok_np = out_new, ok_new
+        else:
+            if not out_np.flags.writeable:
+                out_np = out_np.copy()
+            upd = ok_new & ~ok_np
+            out_np[upd] = out_new[upd]
+            ok_np = ok_np | ok_new
+        if ok_np.all():
+            break
+        retries += 1
+    if stats is not None:
+        stats["fallbacks"] = int((~ok_np).sum())
+        stats["retries"] = retries
+        stats["ok"] = [bool(x) for x in ok_np]
     from nicetpu.format import headers
 
     W, H, _ = headers.parse_file_header(datas[0])
     result = []
     for i, d in enumerate(datas):
         if bool(ok_np[i]):
-            result.append(out_np[i].reshape(H, W, 3))
+            result.append(out_np[i].reshape(3, H, W).transpose(1, 2, 0))
         else:
             from nicetpu.spec import codec
 

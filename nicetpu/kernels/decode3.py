@@ -79,7 +79,7 @@ LADDER = ((8, 2), (3, 3))
 CPB = 1024  # chunks per kernel invocation, as an (8, 128) vector
 SBLK = 64  # walk steps per grid block (scratch carries position across)
 MAX_GROUP_BITS = 5 * C.MAX_CODE_LEN  # prefix + <= 4 payload codes
-MAXL_BUCKETS = (8, 12, 16, 24, 31)
+MAXL_BUCKETS = (8, 12, 16, 20, 24, 31)
 # Streams with tiny alphabets have provably short codes: lengths < alphabet.
 MAXL_SMALL = 12  # covers SC_PREFIXES (13), SC_LUMA_BACK_REF / SC_BACK_REF (11)
 _SMALL_STREAMS = frozenset(
@@ -112,14 +112,28 @@ def pick_maxl(max_len: int) -> int:
     return C.MAX_CODE_LEN
 
 
+def pick_maxl_streams(per_stream_max) -> tuple:
+    """Per-STREAM static code-length bounds, bucketed (10-tuple).
+
+    The walk's `_canon_decode` unrolls one threshold compare per candidate
+    length, so its cost is sum over visited streams of their bound; a
+    single global bound of 31 (deep codes on rare RGB/SMALL_DIFF symbols)
+    made EVERY stream pay 31 iterations — per-stream bounds cut the group
+    decode to the lengths each alphabet actually uses (~1.7x fewer
+    iterations on photo tables).  Bucketing keeps executable reuse."""
+    return tuple(pick_maxl(int(m)) for m in per_stream_max)
+
+
 # ---------------------------------------------------------------------------
 # Shared group-decode math (used by the jnp reference AND the Pallas kernel;
 # only the window fetch differs).  All windows are uint32 carried as int32.
 # ---------------------------------------------------------------------------
 
 
-def _stream_maxl(s: int, maxl: int) -> int:
-    return min(maxl, MAXL_SMALL) if s in _SMALL_STREAMS else maxl
+def _stream_maxl(s: int, maxl) -> int:
+    """Per-stream length bound; maxl is an int (uniform) or a 10-tuple."""
+    m = maxl[s] if isinstance(maxl, tuple) else maxl
+    return min(m, MAXL_SMALL) if s in _SMALL_STREAMS else m
 
 
 def _canon_decode(win, s, tget, maxl):
@@ -468,10 +482,44 @@ def make_word_blocks(words, nch_pad: int, chunk_bits: int):
 
 
 def flatten_records(rec):
-    """(B, KB, SB, SBLK, 8, 128) -> (B, S) in serial slot order."""
+    """(B, KB, SB, SBLK, 8, 128) -> (B, S) in serial slot order.
+
+    Used by tests/CPU twins only: the hot path keeps records in walk layout
+    (this 6-D transpose moves the minor (8, 128) dims mid-array — ~5 ms per
+    record array at 512^2 batch 8 — and the serial scans it fed are computed
+    hierarchically in-layout instead, see `_cumsum_walk`)."""
     B, KB, SB, SB2, _, _ = rec.shape
     r = jnp.transpose(rec, (0, 1, 4, 5, 2, 3))  # (B, KB, 8, 128, SB, SBLK)
     return r.reshape(B, KB * CPB * SB * SB2)
+
+
+def _cumsum_walk(x):
+    """Serial-order inclusive cumsum of a walk-layout (B, KB, SB, SBLK, 8,
+    128) int32 array WITHOUT the flattening transpose.
+
+    Serial slot order is (kb, sub, lane, sb, sblk): steps within a chunk are
+    contiguous on axes (2, 3); chunks order as (kb, sub, lane).  So: cumsum
+    along the fused step axis per chunk, then an exclusive chunk-order
+    cumsum of per-chunk totals (a (B, nch) array — tiny) broadcast back."""
+    B, KB, SB, SBLK, _, _ = x.shape
+    xx = x.reshape(B, KB, SB * SBLK, 8, 128)
+    within = jnp.cumsum(xx, axis=2)
+    tot = within[:, :, -1].reshape(B, KB * CPB)  # chunk serial order
+    base = jnp.cumsum(tot, axis=1) - tot
+    return (within + base.reshape(B, KB, 1, 8, 128)).reshape(x.shape)
+
+
+def _cummax_walk(x):
+    """Serial-order running max in walk layout (see `_cumsum_walk`)."""
+    B, KB, SB, SBLK, _, _ = x.shape
+    xx = x.reshape(B, KB, SB * SBLK, 8, 128)
+    within = jax.lax.cummax(xx, axis=2)
+    tot = within[:, :, -1].reshape(B, KB * CPB)
+    base = jax.lax.cummax(tot, axis=1)
+    base_excl = jnp.concatenate(
+        [jnp.full((B, 1), -(2**31), jnp.int32), base[:, :-1]], axis=1
+    )
+    return jnp.maximum(within, base_excl.reshape(B, KB, 1, 8, 128)).reshape(x.shape)
 
 
 def chunk_layout(x_flat, KB):
@@ -512,14 +560,21 @@ def _ref_index_table(width: int):
     return split(br), split(lu), offs
 
 
-def assemble_v3(pos, sym, p1, p2, p3, p4, n_pixels: int, width: int, wbits):
-    """Slot records (serial order) -> (rec (B,S) int32, dst (B,S),
-    (ok_cov, ok_ref) (B,) gate flags).
+def assemble_v3(
+    pos, sym, p1, p2, p3, p4, n_pixels: int, width: int, wbits,
+    *, cumsum=None, cummax=None,
+):
+    """Slot records -> (rec int32, dst, (ok_cov, ok_ref) (B,) gate flags).
 
-    pos/sym: (B, S); p1..p4: payload SYMBOLS (post-join).  Implements the
-    decoder state machine of ref code.rs:573-684 in slot space: run values
-    via digit ordinals (ref code.rs:661-680), pixel starts via one coverage
-    cumsum, transfer forms per mode (ref code.rs:576-651).
+    pos/sym/p1..p4 (payload SYMBOLS, post-join) share any layout with a
+    leading batch axis whose SERIAL slot order is realized by the `cumsum`
+    and `cummax` scan callables (default: flat (B, S) arrays, axis-1 scans;
+    the Pallas path passes walk-layout 6-D arrays with `_cumsum_walk` /
+    `_cummax_walk` so no flattening transpose ever materializes).
+    Implements the decoder state machine of ref code.rs:573-684 in slot
+    space: run values via digit ordinals (ref code.rs:661-680), pixel
+    starts via one coverage cumsum, transfer forms per mode (ref
+    code.rs:576-651).
 
     Gates: ok_cov — the decoded pixel coverage tiles [0, N) exactly
     (truncated/corrupt streams under-cover); ok_ref — every BACK_REF index
@@ -527,12 +582,18 @@ def assemble_v3(pos, sym, p1, p2, p3, p4, n_pixels: int, width: int, wbits):
     placeable; the reference would panic, ref code.rs:634, and the spec
     decoder raises — the device path must reject, not misdecode)."""
     N, W = n_pixels, width
-    valid = (pos >= 0) & (pos < wbits[:, None])
+    if cumsum is None:
+        cumsum = lambda x: jnp.cumsum(x, axis=1)
+    if cummax is None:
+        cummax = lambda x: jax.lax.cummax(x, axis=1)
+    red_axes = tuple(range(1, pos.ndim))
+    wb = wbits.reshape((-1,) + (1,) * (pos.ndim - 1))
+    valid = (pos >= 0) & (pos < wb)
     is_pfx = valid & (sym < C.PREFIX_RUN_BASE)
     is_dig = valid & (sym >= C.PREFIX_RUN_BASE)
 
-    cd = jnp.cumsum(is_dig.astype(jnp.int32), axis=1)
-    cd_base = jax.lax.cummax(jnp.where(is_pfx, cd, -1), axis=1)
+    cd = cumsum(is_dig.astype(jnp.int32))
+    cd_base = cummax(jnp.where(is_pfx, cd, -1))
     kk = cd - cd_base - 1
     dig_ok = is_dig & (cd_base >= 0) & (kk >= 0) & (kk < C.MAX_RUN_DIGITS)
     kcl = jnp.clip(kk, 0, C.MAX_RUN_DIGITS - 1)
@@ -545,14 +606,15 @@ def assemble_v3(pos, sym, p1, p2, p3, p4, n_pixels: int, width: int, wbits):
     # Clamp per-slot coverage to N: keeps the int32 cumsum overflow-free on
     # adversarial digit chains (legit coverage <= N per pixel by definition).
     cov = jnp.minimum(cov, N)
-    incl = jnp.cumsum(cov, axis=1)
+    incl = cumsum(cov)
     start = incl - cov
     real = is_pfx & (start < N)
     # coverage must tile [0, N) exactly: cumsum construction is gapless, so
-    # the only failure is total < N (truncated walk / corrupt stream)
-    ok_cov = incl[:, -1] >= N
+    # the only failure is total < N (truncated walk / corrupt stream).
+    # (total = sum of cov = last serial element of incl)
+    ok_cov = jnp.sum(cov, axis=red_axes) >= N
     ok_ref = ~jnp.any(
-        real & (sym == C.PREFIX_BACK_REF) & (p1 >= C.NUM_BACK_REF), axis=1
+        real & (sym == C.PREFIX_BACK_REF) & (p1 >= C.NUM_BACK_REF), axis=red_axes
     )
 
     rec, dst = slot_records(is_pfx, sym, p1, p2, p3, p4, start, real, N, W)
@@ -615,20 +677,25 @@ def slot_records(is_pfx, sym, p1, p2, p3, p4, start, real, n_pixels: int, width:
 
 
 def place_and_unpack(rec, dst, n_pixels: int, width: int):
-    """Scatter packed records to raster positions; unpack to (form, delta,
-    refoff) for the row reconstruction.  rec/dst: (B, S)."""
+    """Scatter packed records to raster positions; unpack to (form (B, N),
+    delta (B, 3, N) CHANNEL-PLANAR, refoff (B, N)) for the row
+    reconstruction.  rec/dst: (B, ...) any layout (flattened internally —
+    real slots have unique dst, so scatter order is irrelevant)."""
     N, W = n_pixels, width
     offs = _const_offsets(W)
+    B = rec.shape[0]
+    recf = rec.reshape(B, -1)
+    dstf = dst.reshape(B, -1)
 
     def one(rec1, dst1):
         base = jnp.full(N + 1, REC_DEFAULT, jnp.int32)
         return base.at[dst1].set(rec1, mode="drop")[:N]
 
-    recN = jax.vmap(one)(rec, dst)
+    recN = jax.vmap(one)(recf, dstf)
     form = recN & 7
     refi = (recN >> 3) & 15
     delta = jnp.stack(
-        [(recN >> 7) & 255, (recN >> 15) & 255, (recN >> 23) & 255], axis=-1
+        [(recN >> 7) & 255, (recN >> 15) & 255, (recN >> 23) & 255], axis=1
     )
     refoff = _sel(refi, (0,) + tuple(offs))
     return form, delta, refoff
@@ -696,21 +763,21 @@ def _decode_core_v3(
     if _use_pallas_walk():
         KB = nch_pad // CPB
         words_blk = make_word_blocks(words, nch_pad, chunk_bits)
+        # records stay in walk layout (B, KB, SB, SBLK, 8, 128): everything
+        # downstream is elementwise except the serial scans, which run
+        # in-layout (`_cumsum_walk`) — the four flattening transposes the r3
+        # pipeline paid (~20 ms/batch) are gone.
+        scan_cumsum, scan_cummax = _cumsum_walk, _cummax_walk
 
         def walk(e):
             pos, sym, i12, i34, exits = walk_pallas(
                 words_blk, chunk_layout(e, KB), af, present, ib, pfx, wbits,
                 chunk_bits=chunk_bits, steps=steps, maxl=maxl,
             )
-            return (
-                flatten_records(pos),
-                flatten_records(sym),
-                flatten_records(i12),
-                flatten_records(i34),
-                chunk_unlayout(exits),
-            )
+            return pos, sym, i12, i34, chunk_unlayout(exits)
 
     else:
+        scan_cumsum, scan_cummax = None, None  # flat (B, S) axis-1 scans
 
         def walk(e):
             def one(wd, ee, a, pr, i, pf, wb):
@@ -750,15 +817,28 @@ def _decode_core_v3(
     ok_cross = jnp.all(crossed | ~walked, axis=1)
 
     bins = _payload_bins(sym, i12, i34)
-    syms = [_sym_join(b, sym_tbl) for b in bins]
+    # the join kernel wants (B, M); walk-layout bins reshape for free
+    # (minor (8, 128) dims stay last) and the joined symbols reshape back
+    syms = [
+        _sym_join(b.reshape(B, -1), sym_tbl).reshape(sym.shape) for b in bins
+    ]
 
     rec, dst, (ok_cov, ok_ref) = assemble_v3(
-        pos, sym, syms[0], syms[1], syms[2], syms[3], n_pixels, width, wbits
+        pos, sym, syms[0], syms[1], syms[2], syms[3], n_pixels, width, wbits,
+        cumsum=scan_cumsum, cummax=scan_cummax,
     )
     form, delta, refoff = place_and_unpack(rec, dst, n_pixels, width)
     if serial_recon:
         out = jax.vmap(lambda f, d, r: reconstruct_serial(f, d, r, n_pixels, width))(
             form, delta, refoff
+        )
+    elif _use_pallas_walk() and width % 128 == 0:
+        # single-kernel row loop: the XLA scan paid ~160 us/row of op
+        # scheduling on ~30 us of VPU work (see recon_pallas docstring)
+        from nicetpu.kernels.recon_pallas import reconstruct_rows_pallas
+
+        out = reconstruct_rows_pallas(
+            form, delta, refoff, n_pixels=n_pixels, width=width
         )
     else:
         out = jax.vmap(
@@ -782,7 +862,8 @@ def prepare_tables_v3(flat_lengths: np.ndarray):
 
     af/present/ib: (10, 32) int32 (af = first codes left-aligned, as int32
     bit patterns); pfx16: (1, 16) canonical-order prefix symbols; sym_tbl:
-    (858,) flat canonical-index -> symbol join table."""
+    (858,) flat canonical-index -> symbol join table; the 6th element is
+    the (10,) per-stream max code length (feeds `pick_maxl_streams`)."""
     from nicetpu.format import huffman
 
     af, present, ib, sorted_flat = huffman.decode_dev_tables(flat_lengths)
@@ -796,14 +877,74 @@ def prepare_tables_v3(flat_lengths: np.ndarray):
     for s in range(C.NUM_STREAMS):
         b, n = C.STREAM_BASE[s], C.ALPHABET_SIZES[s]
         sym_tbl[b : b + n] = sorted_flat[s, :n]
-    maxl = int(np.asarray(flat_lengths).max())
+    fl = np.asarray(flat_lengths)
+    per_stream_max = np.array(
+        [
+            int(fl[C.STREAM_BASE[s] : C.STREAM_BASE[s] + C.ALPHABET_SIZES[s]].max())
+            for s in range(C.NUM_STREAMS)
+        ],
+        np.int32,
+    )
     return (
         af.view(np.int32),
         present.astype(np.int32),
         ib.astype(np.int32),
         pfx16,
         sym_tbl,
-        maxl,
+        per_stream_max,
+    )
+
+
+def prepare_tables_v3_batch(lengths_batch: np.ndarray):
+    """Vectorized batch table build: (B, 858) code lengths -> stacked device
+    tables (af (B,10,32) int32, present, ib, pfx16 (B,1,16), sym_tbl
+    (B,858), stream_max (B,10)).
+
+    Replaces B calls to `prepare_tables_v3`: the per-image python loops
+    (canonical_codes' per-symbol walk + per-symbol LUT fill) measured
+    ~30 ms/image — more than the entire device decode compute per image.
+    All-numpy batch formulation: canonical order via one argsort per
+    stream, left-aligned first codes via the identity
+    A_i = sum_{j<i} 2^(32 - l_j) (the canonical-code cumsum), per-length
+    first-index/presence via counting."""
+    lens_all = np.asarray(lengths_batch, dtype=np.int64)
+    B = lens_all.shape[0]
+    af = np.full((B, C.NUM_STREAMS, 32), 0xFFFFFFFF, dtype=np.uint32)
+    present = np.zeros((B, C.NUM_STREAMS, 32), dtype=np.int32)
+    ib = np.zeros((B, C.NUM_STREAMS, 32), dtype=np.int32)
+    sym_tbl = np.zeros((B, C.TOTAL_SYMBOLS), dtype=np.int32)
+    pfx16 = np.zeros((B, 1, 16), dtype=np.int32)
+    stream_max = np.zeros((B, C.NUM_STREAMS), dtype=np.int64)
+    lvals = np.arange(32, dtype=np.int64)
+    for s in range(C.NUM_STREAMS):
+        base, size = C.STREAM_BASE[s], C.ALPHABET_SIZES[s]
+        lens = lens_all[:, base : base + size]  # (B, size)
+        stream_max[:, s] = lens.max(axis=1)
+        # canonical order: (length asc, symbol asc) — stable keyed argsort
+        order = np.argsort(lens * 1024 + np.arange(size), axis=1, kind="stable")
+        sorted_lens = np.take_along_axis(lens, order, axis=1)
+        sym_tbl[:, base : base + size] = order
+        if s == C.SC_PREFIXES:
+            pfx16[:, 0, :size] = order
+        # left-aligned first codes: A_i = sum_{j<i} 2^(32 - l_j)
+        contrib = np.uint64(1) << (np.uint64(32) - sorted_lens.astype(np.uint64))
+        A = np.cumsum(contrib, axis=1) - contrib  # exclusive
+        # per length l: first canonical index, presence, first code
+        cnt_lt = (sorted_lens[:, None, :] < lvals[None, :, None]).sum(axis=2)
+        cnt_le = (sorted_lens[:, None, :] <= lvals[None, :, None]).sum(axis=2)
+        pres = cnt_le > cnt_lt  # (B, 32)
+        first_idx = np.minimum(cnt_lt, size - 1)
+        A_first = np.take_along_axis(A, first_idx, axis=1)
+        present[:, s] = pres.astype(np.int32)
+        ib[:, s] = np.where(pres, cnt_lt, 0).astype(np.int32)
+        af[:, s] = np.where(pres, A_first.astype(np.uint32), np.uint32(0xFFFFFFFF))
+    return (
+        af.view(np.int32),
+        present,
+        ib,
+        pfx16,
+        sym_tbl,
+        stream_max,
     )
 
 
@@ -845,14 +986,15 @@ def prepare_batch_args(
         raise ValueError(f"width must be >= {C.MIN_WIDTH}")
     N = W * H
 
-    tabs, payloads = [], []
+    lens, payloads = [], []
     for d in datas:
         if headers.parse_file_header(d)[2] != 3:
             raise ValueError("only channels=3 decode is defined (SURVEY A.8.3)")
         flat_lengths = headers.parse_stream_headers(d[C.FILE_HEADER_BYTES :])
         huffman.validate_flat_lengths(flat_lengths)
-        tabs.append(prepare_tables_v3(flat_lengths))
+        lens.append(flat_lengths)
         payloads.append(d[C.FILE_HEADER_BYTES + C.STREAM_HEADERS_BYTES : len(d) - 4])
+    af_b, pr_b, ib_b, pfx_b, sym_b, smax_b = prepare_tables_v3_batch(np.stack(lens))
 
     Wn, _ = _words_cap(max(len(p) for p in payloads), chunk_bits)
     words = np.zeros((len(datas), Wn), dtype=np.uint32)
@@ -862,15 +1004,15 @@ def prepare_batch_args(
         words[i, : src.shape[0]] = src
         wbits[i] = len(p) * 8
 
-    maxl = pick_maxl(max(t[5] for t in tabs))
+    maxl = pick_maxl_streams(smax_b.max(axis=0))
     args = (
         jnp.asarray(words.view(np.int32)),
         jnp.asarray(wbits),
-        jnp.asarray(np.stack([t[0] for t in tabs])),
-        jnp.asarray(np.stack([t[1] for t in tabs])),
-        jnp.asarray(np.stack([t[2] for t in tabs])),
-        jnp.asarray(np.stack([t[3] for t in tabs])),
-        jnp.asarray(np.stack([t[4] for t in tabs])),
+        jnp.asarray(af_b),
+        jnp.asarray(pr_b),
+        jnp.asarray(ib_b),
+        jnp.asarray(pfx_b),
+        jnp.asarray(sym_b),
     )
     kw = dict(
         n_pixels=N,
@@ -951,7 +1093,8 @@ def decode_batch_jax_v3(
     result = []
     for i, d in enumerate(datas):
         if bool(ok_np[i]):
-            result.append(out_np[i].reshape(H, W, 3))
+            # device output is channel-planar (3, N); untangle on host
+            result.append(out_np[i].reshape(3, H, W).transpose(1, 2, 0))
         else:
             from nicetpu.spec import codec
 
@@ -962,3 +1105,188 @@ def decode_batch_jax_v3(
 def decode_jax_v3(data: bytes, **kw) -> np.ndarray:
     """TPU-native `.nice` decode (v3): bytes -> (H, W, 3) uint8."""
     return decode_batch_jax_v3([data], **kw)[0]
+
+
+# ---------------------------------------------------------------------------
+# Device-verified round-trip decode (production hybrid path)
+# ---------------------------------------------------------------------------
+
+
+def _decode_verify_core(
+    words, wbits, af, present, ib, pfx, sym_tbl, orig, **kw
+):
+    """Decode + on-device bit-exact comparison against the resident
+    original.  orig: (B, N, 3) uint8 (the `pipeline.upload_batch` layout).
+    Returns (ok (B,) gates passed, eq (B,) decoded == orig exactly) — only
+    2B booleans cross the wire, the raster never does (the tunnel's D2H is
+    ~25-35 MB/s; the round-trip's correctness proof is the on-device
+    equality, which checks EVERY byte, strictly stronger than a host-side
+    compare of a fetched copy)."""
+    out, ok, _gates = _decode_core_v3(words, wbits, af, present, ib, pfx, sym_tbl, **kw)
+    orig_planar = jnp.swapaxes(orig, 1, 2)  # (B, 3, N)
+    eq = jnp.all(out == orig_planar, axis=(1, 2))
+    return ok, eq
+
+
+_device_decode_verify = partial(jax.jit, static_argnames=_STATIC_V3)(
+    _decode_verify_core
+)
+
+
+def decode_batch_verify_device(
+    datas: list[bytes],
+    orig_dev,
+    *,
+    ladder: tuple = LADDER,
+    stats: dict | None = None,
+) -> np.ndarray:
+    """Round-trip verification decode: decode same-shape `.nice` streams on
+    device and PROVE each equals the resident (B, N, 3) uint8 original.
+
+    Returns a (B,) bool array `verified`.  Semantics per image:
+      * gates ok AND eq      -> True (bit-exact round trip proven on device)
+      * gates not ok          -> False (caller decodes that image on host —
+        the same fallback contract as `decode_batch_jax_v3`)
+      * gates ok but NOT eq  -> RuntimeError: the device pipeline claims a
+        consistent decode that differs from the encoder input; that is a
+        kernel defect and must surface loudly, never as a silent fallback
+        (VERDICT r3 next #5).
+    """
+    if not datas:
+        return np.zeros(0, bool)
+    args, base_kw = prepare_batch_args(datas)
+    ok_np = np.zeros(len(datas), bool)
+    eq_np = np.zeros(len(datas), bool)
+    retries = 0
+    for steps_div, rounds in ladder:
+        ok, eq = _device_decode_verify(
+            *args,
+            orig_dev,
+            **{
+                **base_kw,
+                "steps": _steps(base_kw["chunk_bits"], steps_div),
+                "rounds": rounds,
+            },
+        )
+        ok_new = np.asarray(ok)
+        eq_new = np.asarray(eq)
+        upd = ok_new & ~ok_np
+        eq_np[upd] = eq_new[upd]
+        ok_np |= ok_new
+        if ok_np.all():
+            break
+        retries += 1
+    if (ok_np & ~eq_np).any():
+        bad = int(np.argmax(ok_np & ~eq_np))
+        raise RuntimeError(
+            f"device decode gate-consistent but NOT equal to original "
+            f"(image {bad}): kernel defect, refusing silent fallback"
+        )
+    if stats is not None:
+        stats["fallbacks"] = int((~ok_np).sum())
+        stats["retries"] = retries
+        stats["ok"] = [bool(x) for x in ok_np]
+    return ok_np
+
+
+def verify_words_device(
+    words_dev,
+    totals: np.ndarray,
+    lengths: np.ndarray,
+    orig_dev,
+    *,
+    n_pixels: int,
+    width: int,
+    skip: np.ndarray | None = None,
+    ladder: tuple = LADDER,
+    stats: dict | None = None,
+) -> np.ndarray:
+    """Device-RESIDENT round-trip verification: decode straight from the
+    encoder's packed words (still in HBM from `encode2.encode_fused`) and
+    prove equality with the resident original — the compressed payload
+    never re-crosses the tunnel for the decode leg.
+
+    words_dev: (B, w_cap) uint32 device words (payload bit 0 = word 0 MSB,
+    zeros beyond the payload — exactly the walk's expected layout);
+    totals: (B,) host int payload bit counts; lengths: (B, 858) host code
+    lengths (from the fused encode's small fetch); orig_dev: (B, N, 3)
+    uint8 resident originals; skip: optional (B,) bool — images whose fused
+    encode overflowed (their words/lengths are unusable) are never
+    verified and reported False.
+
+    Returns (B,) bool `verified` with the same loud-failure contract as
+    `decode_batch_verify_device`."""
+    B = int(words_dev.shape[0])
+    skip = np.zeros(B, bool) if skip is None else np.asarray(skip, bool)
+    if skip.all():
+        if stats is not None:
+            stats["fallbacks"] = B
+            stats["retries"] = 0
+        return np.zeros(B, bool)
+    from nicetpu.format import huffman
+
+    # per-image tables; a skipped image borrows the first live image's
+    # tables (its gates are ignored — `verified` stays False)
+    donor = int(np.argmin(skip))
+    src_rows = np.where(skip, donor, np.arange(B))
+    lens_b = np.asarray(lengths, dtype=np.int64)[src_rows]
+    for b in range(B):
+        if not skip[b]:
+            huffman.validate_flat_lengths(lens_b[b].astype(np.uint8))
+    af_b, pr_b, ib_b, pfx_b, sym_b, smax_b = prepare_tables_v3_batch(lens_b)
+    maxl = pick_maxl_streams(smax_b.max(axis=0))
+
+    tot = np.where(skip, int(totals[donor]), np.asarray(totals)).astype(np.int64)
+    Wn, _ = _words_cap(int(tot.max() + 7) // 8, CHUNK_BITS)
+    wi = jax.lax.bitcast_convert_type(words_dev, jnp.int32)
+    w_cap = int(wi.shape[1])
+    if w_cap >= Wn:
+        wi = wi[:, :Wn]
+    else:
+        wi = jnp.pad(wi, ((0, 0), (0, Wn - w_cap)))
+    args = (
+        wi,
+        jnp.asarray(tot.astype(np.int32)),
+        jnp.asarray(af_b),
+        jnp.asarray(pr_b),
+        jnp.asarray(ib_b),
+        jnp.asarray(pfx_b),
+        jnp.asarray(sym_b),
+    )
+    base_kw = dict(
+        n_pixels=n_pixels,
+        width=width,
+        chunk_bits=CHUNK_BITS,
+        maxl=maxl,
+        segs=_segs_for(width),
+    )
+    ok_np = np.zeros(B, bool)
+    eq_np = np.zeros(B, bool)
+    retries = 0
+    for steps_div, rounds in ladder:
+        ok, eq = _device_decode_verify(
+            *args,
+            orig_dev,
+            **base_kw,
+            steps=_steps(CHUNK_BITS, steps_div),
+            rounds=rounds,
+        )
+        ok_new = np.asarray(ok) & ~skip
+        eq_new = np.asarray(eq)
+        upd = ok_new & ~ok_np
+        eq_np[upd] = eq_new[upd]
+        ok_np |= ok_new
+        if (ok_np | skip).all():
+            break
+        retries += 1
+    if (ok_np & ~eq_np).any():
+        bad = int(np.argmax(ok_np & ~eq_np))
+        raise RuntimeError(
+            f"device-resident decode gate-consistent but NOT equal to the "
+            f"original (image {bad}): kernel defect, refusing silent fallback"
+        )
+    if stats is not None:
+        stats["fallbacks"] = int((~ok_np).sum())
+        stats["retries"] = retries
+        stats["ok"] = [bool(x) for x in ok_np]
+    return ok_np

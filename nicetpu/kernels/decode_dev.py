@@ -376,7 +376,8 @@ def assemble_chain(
 
 
 def expand_positions(pix: dict, n_pixels: int, width: int):
-    """Per-position (form, delta (N,3), refoff) arrays for the value chain.
+    """Per-position (form (N,), delta (3, N) planar, refoff (N,)) arrays for
+    the value chain.
 
     Run-covered positions copy the predecessor (ADD1 delta 0 — the default);
     encoded pixels scatter their mode's transfer at their start position:
@@ -431,10 +432,13 @@ def expand_positions(pix: dict, n_pixels: int, width: int):
     dst = jnp.where(real, start, N)
     form_pos = jnp.full(N, F_ADD1, jnp.int32).at[dst].set(form, mode="drop")
     ref_pos = jnp.zeros(N, jnp.int32).at[dst].set(ref, mode="drop")
-    delta_pos = (
-        jnp.zeros((N, 3), jnp.int32)
-        .at[dst]
-        .set(jnp.stack([dr, dg, db], axis=1), mode="drop")
+    # channel-planar (3, N): three flat scatters, stacked on a LEADING axis
+    delta_pos = jnp.stack(
+        [
+            jnp.zeros(N + 1, jnp.int32).at[dst].set(d, mode="drop")[:N]
+            for d in (dr, dg, db)
+        ],
+        axis=0,
     )
     return form_pos, delta_pos, ref_pos
 
@@ -464,17 +468,22 @@ def _apply_form(f, d, cv, ab, r1, r2, r3):
 
 def reconstruct_serial(form, delta, refoff, n_pixels: int, width: int):
     """Exact N-step serial chain — the executable spec of the transfer forms
-    (cross-tested against reconstruct_rows; use only for small rasters)."""
+    (cross-tested against reconstruct_rows; use only for small rasters).
+
+    delta is CHANNEL-PLANAR (3, N); returns (3, N).  (All reconstruction
+    arrays are planar: a channel-minor (N, 3) layout tiles the 3-wide minor
+    dim to 128 lanes on TPU — ~2% lane utilization and a 42x pad in HBM;
+    measured as the dominant cost of the r3 decoder.)"""
     N, W = n_pixels, width
 
     def body(out, i):
-        prev = [out[jnp.maximum(i - k, 0)] for k in (1, 2, 3)]
-        above = out[jnp.maximum(i - W, 0)]
-        cval = jnp.where(refoff[i] > 0, out[jnp.maximum(i - refoff[i], 0)], 0)
-        val = _apply_form(form[i], delta[i], cval, above, prev[0], prev[1], prev[2])
-        return out.at[i].set(val), None
+        prev = [out[:, jnp.maximum(i - k, 0)] for k in (1, 2, 3)]
+        above = out[:, jnp.maximum(i - W, 0)]
+        cval = jnp.where(refoff[i] > 0, out[:, jnp.maximum(i - refoff[i], 0)], 0)
+        val = _apply_form(form[i], delta[:, i], cval, above, prev[0], prev[1], prev[2])
+        return out.at[:, i].set(val), None
 
-    out, _ = jax.lax.scan(body, jnp.zeros((N, 3), jnp.int32), jnp.arange(N))
+    out, _ = jax.lax.scan(body, jnp.zeros((3, N), jnp.int32), jnp.arange(N))
     return out
 
 
@@ -495,7 +504,12 @@ def reconstruct_rows(
     for the w-1/w-3 same-row wrap refs (SURVEY A.8.2).  Requires
     width % segs == 0 and segment length >= 4.
 
-    prev4: optional (4*W, 3) int32 initial carry (the 4 rows preceding this
+    CHANNEL-PLANAR: delta is (3, N) and the result is (3, N); all inner
+    arrays keep channels on a leading axis so the (candidates, segment)
+    dims ride full (8, 128) vector tiles — the r3 channel-minor layout
+    measured 57% of decode time from 3/128-lane tiles alone.
+
+    prev4: optional (3, 4*W) int32 initial carry (the 4 rows preceding this
     block) — lets sharded decode pipeline row blocks across devices."""
     N, W, S = n_pixels, width, segs
     if W % S or W // S < 4:
@@ -503,35 +517,36 @@ def reconstruct_rows(
     L = W // S
     H = N // W
     offs = _const_offsets(W)
-    cand = jnp.broadcast_to(jnp.arange(256, dtype=jnp.int32)[None, :, None], (S, 256, 3))
+    cand = jnp.broadcast_to(jnp.arange(256, dtype=jnp.int32)[None, None, :], (3, S, 256))
     u256 = jnp.arange(256, dtype=jnp.int32)
 
     f_rows = form.reshape(H, W)
-    d_rows = delta.reshape(H, W, 3)
+    d_rows = jnp.swapaxes(delta.reshape(3, H, W), 0, 1)  # (H, 3, W)
     ro_rows = refoff.reshape(H, W)
 
     def row_body(prev4, xs):
-        f_row, d_row, ro_row = xs
-        prev4p = jnp.concatenate([prev4, jnp.zeros((3, 3), jnp.int32)])
-        ab_row = prev4[3 * W :]
-        cv_row = jnp.zeros((W, 3), jnp.int32)
+        f_row, d_row, ro_row = xs  # (W,), (3, W), (W,)
+        prev4p = jnp.concatenate([prev4, jnp.zeros((3, 3), jnp.int32)], axis=1)
+        ab_row = prev4[:, 3 * W :]
+        cv_row = jnp.zeros((3, W), jnp.int32)
         for o in offs:
             cv_row = jnp.where(
-                (ro_row == o)[:, None], prev4p[4 * W - o : 5 * W - o], cv_row
+                (ro_row == o)[None, :], prev4p[:, 4 * W - o : 5 * W - o], cv_row
             )
 
-        # transpose to per-position (L, S, ...) slices for the inner scans
-        fT = jnp.swapaxes(f_row.reshape(S, L), 0, 1)
-        dT = jnp.swapaxes(d_row.reshape(S, L, 3), 0, 1)
-        cvT = jnp.swapaxes(cv_row.reshape(S, L, 3), 0, 1)
-        abT = jnp.swapaxes(ab_row.reshape(S, L, 3), 0, 1)
+        # per-position (L, ...) slices for the inner scans; channel stays a
+        # leading broadcast axis, (S,)/(3, S) trailing
+        fT = jnp.swapaxes(f_row.reshape(S, L), 0, 1)  # (L, S)
+        dT = jnp.transpose(d_row.reshape(3, S, L), (2, 0, 1))  # (L, 3, S)
+        cvT = jnp.transpose(cv_row.reshape(3, S, L), (2, 0, 1))
+        abT = jnp.transpose(ab_row.reshape(3, S, L), (2, 0, 1))
 
         # build: push all 256 candidate boundary values through each segment
         def build_step(carry, x):
-            r1, r2, r3, t1, t2, t3 = carry
+            r1, r2, r3, t1, t2, t3 = carry  # r* (3, S, 256); t* (S,)
             f, d, cv, ab = x
             new = _apply_form(
-                f[:, None, None], d[:, None, :], cv[:, None, :], ab[:, None, :],
+                f[None, :, None], d[:, :, None], cv[:, :, None], ab[:, :, None],
                 r1, r2, r3,
             )
             nt = jnp.where(f == F_ADD2, t2, jnp.where(f == F_ADD3, t3, t1))
@@ -551,37 +566,49 @@ def reconstruct_rows(
         )
 
         # resolve: boundary triples across segments (one-hot LUT application
-        # keeps every step gather-free)
-        b0 = jnp.stack([prev4[4 * W - 1], prev4[4 * W - 2], prev4[4 * W - 3]])
+        # keeps every step gather-free).  trip rows = lag 1..3, cols = ch.
+        b0 = jnp.stack([prev4[:, 4 * W - 1], prev4[:, 4 * W - 2], prev4[:, 4 * W - 3]])
 
         def resolve_step(trip, x):
-            r1s, r2s, r3s, t1s, t2s, t3s = x
+            r1s, r2s, r3s, t1s, t2s, t3s = x  # r*s (3, 256); t*s scalar
 
             def ev(lut, tag):
                 tv = jnp.where(tag == 0, trip[0], jnp.where(tag == 1, trip[1], trip[2]))
-                oh = u256[:, None] == tv[None, :]
-                return jnp.sum(jnp.where(oh, lut, 0), axis=0)
+                oh = u256[None, :] == tv[:, None]  # (3, 256)
+                return jnp.sum(jnp.where(oh, lut, 0), axis=1)
 
             new = jnp.stack([ev(r1s, t1s), ev(r2s, t2s), ev(r3s, t3s)])
             return new, trip
 
         _, trips = jax.lax.scan(
-            resolve_step, b0, (r1, r2, r3, t1, t2, t3), unroll=True
+            resolve_step,
+            b0,
+            (
+                jnp.swapaxes(r1, 0, 1), jnp.swapaxes(r2, 0, 1),
+                jnp.swapaxes(r3, 0, 1), t1, t2, t3,
+            ),
+            unroll=True,
         )
         # trips[s] = (3 lags, 3 ch) true boundary values at entry of segment s
 
-        # replay with true inputs
+        # replay with true inputs; carried values are (3 ch, S)
         def replay_step(carry, x):
             v1, v2, v3 = carry
             f, d, cv, ab = x
-            new = _apply_form(f[:, None], d, cv, ab, v1, v2, v3)
+            new = _apply_form(f[None, :], d, cv, ab, v1, v2, v3)
             return (new, v1, v2), new
 
         _, rowv = jax.lax.scan(
-            replay_step, (trips[:, 0], trips[:, 1], trips[:, 2]), (fT, dT, cvT, abT),
+            replay_step,
+            (
+                jnp.swapaxes(trips[:, 0], 0, 1),
+                jnp.swapaxes(trips[:, 1], 0, 1),
+                jnp.swapaxes(trips[:, 2], 0, 1),
+            ),
+            (fT, dT, cvT, abT),
             unroll=True,
         )
-        row = jnp.swapaxes(rowv, 0, 1).reshape(W, 3)
+        row = jnp.transpose(rowv, (1, 2, 0)).reshape(3, W)
 
         # fixup: w-1/w-3 refs from the last <= 3 columns land in the CURRENT
         # row (cols 0..2); the build above read them stale.  Recompute the
@@ -590,25 +617,27 @@ def reconstruct_rows(
         for x in (W - 3, W - 2, W - 1):
             cv = jnp.zeros(3, jnp.int32)
             for o in offs:
-                src = row[x - o] if x - o >= 0 else prev4[4 * W + x - o]
+                src = row[:, x - o] if x - o >= 0 else prev4[:, 4 * W + x - o]
                 cv = jnp.where(ro_row[x] == o, src, cv)
             lag = [
-                row[x - k] if x - k >= 0 else prev4[4 * W + x - k] for k in (1, 2, 3)
+                row[:, x - k] if x - k >= 0 else prev4[:, 4 * W + x - k]
+                for k in (1, 2, 3)
             ]
             val = _apply_form(
-                f_row[x], d_row[x], cv, ab_row[x], lag[0], lag[1], lag[2]
+                f_row[x], d_row[:, x], cv, ab_row[:, x], lag[0], lag[1], lag[2]
             )
-            row = row.at[x].set(val)
+            row = row.at[:, x].set(val)
 
-        return jnp.concatenate([prev4[W:], row]), row
+        return jnp.concatenate([prev4[:, W:], row], axis=1), row
 
-    init = jnp.zeros((4 * W, 3), jnp.int32) if prev4 is None else prev4
+    init = jnp.zeros((3, 4 * W), jnp.int32) if prev4 is None else prev4
     tail, rows = jax.lax.scan(
         row_body, init, (f_rows, d_rows, ro_rows), unroll=2
     )
+    out = jnp.swapaxes(rows, 0, 1).reshape(3, N)
     if prev4 is None:
-        return rows.reshape(N, 3)
-    return rows.reshape(N, 3), tail
+        return out
+    return out, tail
 
 
 # ---------------------------------------------------------------------------
@@ -746,7 +775,8 @@ def decode_jax(data: bytes, *, serial_recon: bool = False, chain: str = "spec") 
         from nicetpu.spec import codec
 
         return codec.decode(data)
-    return np.asarray(out).reshape(H, W, 3)
+    # device output is channel-planar (3, N); untangle on host
+    return np.asarray(out).reshape(3, H, W).transpose(1, 2, 0)
 
 
 def decode_batch_jax(
@@ -805,7 +835,7 @@ def decode_batch_jax(
     result = []
     for i, d in enumerate(datas):
         if bool(ok_np[i]):
-            result.append(out_np[i].reshape(H, W, 3))
+            result.append(out_np[i].reshape(3, H, W).transpose(1, 2, 0))
         else:
             from nicetpu.spec import codec
 

@@ -103,31 +103,43 @@ def upload_batch(imgs: Sequence[np.ndarray]):
     return jax.device_put(np.stack([im.reshape(H * W, 3) for im in imgs]))
 
 
-def encode_batch_resident(flat_dev, shape, imgs=None, _retries: int = 2) -> list[bytes]:
+def encode_batch_resident(
+    flat_dev, shape, imgs=None, _retries: int = 2, return_device: bool = False
+):
     """Fused encode of an already-resident (B, N, 3) device batch.
 
     shape: the (H, W, 3) image shape.  imgs (host copies) are only needed
     for the rare capacity-overflow fallback to the native encoder.  Only
-    TRANSIENT runtime errors retry/fall back (counted in `pop_stats`)."""
+    TRANSIENT runtime errors retry/fall back (counted in `pop_stats`).
+
+    return_device=True returns (datas, words_dev, small) — the packed
+    payload words still resident in HBM plus the fetched (B, 860) small
+    array — so the caller can run the device-resident decode leg without
+    re-uploading the payload; (datas, None, None) when the native fallback
+    produced the bytes."""
     try:
-        return _encode_batch_core(flat_dev, shape, imgs)
+        out = _encode_batch_core(flat_dev, shape, imgs, return_device=return_device)
+        return out
     except _transient_errors():
         if _retries > 0:
             _count("tpu_retries")
-            return encode_batch_resident(flat_dev, shape, imgs, _retries - 1)
+            return encode_batch_resident(
+                flat_dev, shape, imgs, _retries - 1, return_device
+            )
         if imgs is None:
             raise
         _count("tpu_fallbacks")
         from nicetpu.hostref import oracle
 
-        return [oracle.encode_native(im) for im in imgs]
+        datas = [oracle.encode_native(im) for im in imgs]
+        return (datas, None, None) if return_device else datas
 
 
 def _encode_batch_fused(imgs: Sequence[np.ndarray]) -> list[bytes]:
     return _encode_batch_core(upload_batch(imgs), imgs[0].shape, imgs)
 
 
-def _encode_batch_core(flat, shape, imgs=None) -> list[bytes]:
+def _encode_batch_core(flat, shape, imgs=None, return_device: bool = False):
     from nicetpu.kernels.encode2 import encode_fused
 
     B = int(flat.shape[0])
@@ -173,6 +185,8 @@ def _encode_batch_core(flat, shape, imgs=None) -> list[bytes]:
             + headers.pack_stream_headers(lengths)
             + words_to_payload(words[b], int(totals[b]))
         )
+    if return_device:
+        return out, words_d, small
     return out
 
 
@@ -186,8 +200,9 @@ def roundtrip_hybrid(
 
     batches: list of (host_imgs, dev_batch) where dev_batch is an uploaded
     (B, N, 3) device array (see `upload_batch`) or None for host-only
-    entries.  TPU workers pop batches from the FRONT (fused dispatch +
-    payload fetch + OpenMP batch decode); CPU workers pop from the BACK
+    entries.  TPU workers pop batches from the FRONT (fused encode dispatch
+    + payload fetch + device-resident v3 decode proven bit-exact ON device
+    against the uploaded original); CPU workers pop from the BACK
     (serial native encode+decode, releasing the GIL inside ctypes).  The
     two ends meet wherever the resources balance — work stealing, no static
     split.  This is the production scheduling answer to the measured system
@@ -239,9 +254,45 @@ def roundtrip_hybrid(
         host_imgs, dev = batches[i]
         if dev is None:
             return False
-        datas = encode_batch_resident(dev, host_imgs[0].shape, host_imgs)
-        decs = oracle.decode_batch_native(datas)
-        results[i] = list(zip(datas, decs))
+        H, W, _ = host_imgs[0].shape
+        datas, words_d, small = encode_batch_resident(
+            dev, host_imgs[0].shape, host_imgs, return_device=True
+        )
+        # TPU-native decode leg (decode3 v3 walk) straight from the
+        # DEVICE-RESIDENT packed words, with on-device bit-exact
+        # verification against the resident original — only ok/eq flags
+        # cross the tunnel.  Images whose gates fail (or whose fused encode
+        # overflowed) decode on the host; a gate-consistent mismatch RAISES
+        # (kernel defect — never silently rerouted, VERDICT r3 next #5).
+        from nicetpu.kernels import decode3
+
+        verified = np.zeros(len(host_imgs), bool)
+        if words_d is not None:
+            dstats: dict = {}
+            try:
+                verified = decode3.verify_words_device(
+                    words_d,
+                    small[:, 858],
+                    small[:, :858],
+                    dev,
+                    skip=small[:, 859].astype(bool),
+                    n_pixels=H * W,
+                    width=W,
+                    stats=dstats,
+                )
+            except _transient_errors():
+                _count("tpu_fallbacks", len(host_imgs))
+            else:
+                if dstats.get("fallbacks"):
+                    _count("tpu_fallbacks", dstats["fallbacks"])
+        out = []
+        for b, d in enumerate(datas):
+            if verified[b]:
+                # bit-exactness proven on device; the original IS the decode
+                out.append((d, host_imgs[b]))
+            else:
+                out.append((d, oracle.decode_native(d)))
+        results[i] = out
         return True
 
     hard_errors: list[BaseException] = []

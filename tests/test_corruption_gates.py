@@ -43,7 +43,9 @@ def test_valid_stream_passes_all_gates():
     data = codec.encode(img)
     out, ok, gates = _gates([data])
     assert bool(ok[0]) and gates[0].all()
-    assert np.array_equal(out[0].reshape(img.shape), img)
+    # core output is channel-planar (3, N)
+    h, w, _ = img.shape
+    assert np.array_equal(out[0].reshape(3, h, w).transpose(1, 2, 0), img)
 
 
 def test_truncated_payload_trips_coverage():
@@ -118,7 +120,10 @@ def test_small_chunks_self_sync_miss_trips_consistency():
                 gates[0, CROSSING]
             )
         else:
-            assert np.array_equal(out[0].reshape(img.shape), img)
+            h, w, _ = img.shape
+            assert np.array_equal(
+                out[0].reshape(3, h, w).transpose(1, 2, 0), img
+            )
         if hit and not bool(hit[1][0, CONSISTENCY]):
             break
     assert hit is not None, "no self-sync miss in 8 noise seeds at 512-bit chunks"

@@ -131,8 +131,8 @@ def test_walk_kernel_interpret_parity():
 
     payload = data[C.FILE_HEADER_BYTES + C.STREAM_HEADERS_BYTES : len(data) - 4]
     flat_lengths = headers.parse_stream_headers(data[C.FILE_HEADER_BYTES :])
-    af, present, ib, pfx16, sym_tbl, maxl_i = d3.prepare_tables_v3(flat_lengths)
-    maxl = d3.pick_maxl(maxl_i)
+    af, present, ib, pfx16, sym_tbl, stream_max = d3.prepare_tables_v3(flat_lengths)
+    maxl = d3.pick_maxl_streams(stream_max)
 
     chunk_bits = 512
     nch_pad = d3.CPB  # one kernel block
