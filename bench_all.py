@@ -73,29 +73,35 @@ def report(config, value, unit, note=""):
 
 
 def _config5_worker(side: int) -> int:
-    """Single-raster sharded encode+decode on the 8-device virtual CPU mesh."""
+    """Single-raster sharded encode+decode on the 8-device virtual CPU mesh
+    at the BASELINE config-5 spec size (16384 default), through the
+    multihost wrappers (bounded-memory ordered gather, SURVEY §7.3.6);
+    records peak host RSS."""
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     ).strip()
+    import resource
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    from nicetpu.dist.sharded import encode_sharded, make_mesh
-    from nicetpu.dist.sharded_decode import decode_sharded
+    from nicetpu.dist.multihost import decode_multihost, encode_multihost
+    from nicetpu.dist.sharded import make_mesh
 
     mesh = make_mesh(8)
     img = make_img(side, side, 5)
     mb = img.nbytes / 1e6
     t0 = time.perf_counter()
-    data = encode_sharded(img, mesh)
+    data = encode_multihost(img, mesh)
     t_enc_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
-    data = encode_sharded(img, mesh)
+    data = encode_multihost(img, mesh)
     t_enc = time.perf_counter() - t0
     t0 = time.perf_counter()
-    dec = decode_sharded(data, mesh)
+    dec = decode_multihost(data, mesh)
     t_dec = time.perf_counter() - t0
     ok = bool(np.array_equal(dec, img))
+    peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(
         json.dumps(
             {
@@ -105,6 +111,7 @@ def _config5_worker(side: int) -> int:
                 "bit_exact": ok,
                 "bytes": len(data),
                 "cold_encode_s": round(t_enc_cold, 1),
+                "peak_host_rss_gb": round(peak_gb, 1),
             }
         ),
         flush=True,
@@ -298,7 +305,7 @@ def main():
     # 5. large single-raster sharded round-trip on the 8-device VIRTUAL CPU
     #    mesh (no pod slice on this host; validates the multi-chip path at
     #    scale, NOT ICI throughput).
-    side = int(os.environ.get("NICETPU_CONFIG5_SIDE", "8192"))
+    side = int(os.environ.get("NICETPU_CONFIG5_SIDE", "16384"))
     try:
         r = subprocess.run(
             [sys.executable, __file__, "_config5", str(side)],
@@ -310,10 +317,11 @@ def main():
         line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
         res = json.loads(line)
         report(
-            f"{side}x{side} sharded encode (8-dev VIRTUAL cpu mesh)",
+            f"{side}x{side} sharded encode+decode (8-dev VIRTUAL cpu mesh)",
             res["encode_mb_s"],
             "MB/s",
             f"bit-exact={res['bit_exact']} decode={res['decode_mb_s']} MB/s "
+            f"peak_host_rss={res.get('peak_host_rss_gb', '?')} GB "
             "(virtual CPU devices, not ICI)",
         )
     except Exception as e:  # pragma: no cover

@@ -161,12 +161,16 @@ def stitch_payload(
     return out.astype(np.uint32).astype(">u4").tobytes(), total_bits
 
 
-def encode_sharded(img: np.ndarray, mesh: Mesh, fetch=np.asarray) -> bytes:
+def encode_sharded(
+    img: np.ndarray, mesh: Mesh, fetch=np.asarray, gather=None
+) -> bytes:
     """Full sharded encode of an (H, W, 3) uint8 image over the mesh.
 
     `fetch` reads a device array back to host numpy — the default works for
     fully-addressable (single-process) arrays; dist.multihost passes a
-    replicating fetch for cross-process meshes.
+    replicating fetch for cross-process meshes.  `gather(words, bits) ->
+    (shard_words, shard_bits)` overrides the payload fetch entirely
+    (dist.multihost's bounded-memory ordered gather, SURVEY §7.3.6).
     """
     from nicetpu.format.huffman import build_tables_host
 
@@ -187,7 +191,11 @@ def encode_sharded(img: np.ndarray, mesh: Mesh, fetch=np.asarray) -> bytes:
     codes = jax.device_put(jnp.asarray(flat_codes), rep)
     words, bits = pack(bins, aob, codes)
 
-    payload, total_bits = stitch_payload(fetch(words), fetch(bits), n_dev)
+    if gather is not None:
+        w_np, bits_np = gather(words, bits)
+    else:
+        w_np, bits_np = fetch(words), fetch(bits)
+    payload, total_bits = stitch_payload(w_np, bits_np, n_dev)
     assert total_bits == needed_bits, (total_bits, needed_bits)
 
     n_bytes = total_bits // 8

@@ -201,9 +201,16 @@ def build_sharded_decode(
     return fn, nlc, steps
 
 
-def decode_sharded(data: bytes, mesh: Mesh, *, rounds: int = 3) -> np.ndarray:
+def decode_sharded(
+    data: bytes, mesh: Mesh, *, rounds: int = 3, fetch=np.asarray
+) -> np.ndarray:
     """Decode one `.nice` stream sharded across the mesh (single-raster
-    mode).  Falls back to the host spec decoder if the device gates fail."""
+    mode).  Falls back to the host spec decoder if the device gates fail.
+
+    `fetch` reads a device array back to host numpy — the default works for
+    fully-addressable (single-process) arrays; dist.multihost passes a
+    replicating fetch for cross-process meshes (SURVEY §2.2 ordered
+    gather analogue for the decoded raster)."""
     from nicetpu.format import headers, huffman
 
     W, H, channels = headers.parse_file_header(data)
@@ -248,12 +255,12 @@ def decode_sharded(data: bytes, mesh: Mesh, *, rounds: int = 3) -> np.ndarray:
         dput(pfx16, rep),
         dput(sym_tbl, rep),
     )
-    if not bool(np.asarray(ok).all()):
+    if not bool(fetch(ok).all()):
         from nicetpu.spec import codec
 
         return codec.decode(data)
     # device output is channel-planar (3, N); untangle on host
-    return np.asarray(out).reshape(3, H, W).transpose(1, 2, 0)
+    return fetch(out).reshape(3, H, W).transpose(1, 2, 0)
 
 
 def decode_batch_sharded(

@@ -110,36 +110,37 @@ def _recon_kernel(
         r1, r2, r3 = new, r1, r2
         t1, t2, t3 = nt, t1, t2
 
-    # ---- resolve: serial one-hot evaluation across the S segments
+    # ---- resolve: serial one-hot evaluation across the S segments.
+    # All (B, 3)/(B, 3, S) values are built with predicated one-hot writes —
+    # jnp.stack of (B,) pieces fails Mosaic lowering at small B ("offset
+    # mismatch on non-concat dimension").
     iota256 = jax.lax.broadcasted_iota(jnp.int32, (B, 256), 1)
-    # trip[k][c]: boundary value at lag k+1, channel c — (B,) each
-    trip = [
-        [prev4[:, c, 4 * W - 1 - k] for c in range(3)] for k in range(3)
-    ]
-    v_cols = [[], [], []]  # per lag: list over segments of (B, 3) entries
+    iota3 = jax.lax.broadcasted_iota(jnp.int32, (B, 3), 1)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (B, 3, S), 2)
+    # trip[k]: (B, 3) boundary values at lag k+1 (cols = channels)
+    trip = [prev4[:, :, 4 * W - 1 - k] for k in range(3)]
+    V = [jnp.zeros((B, 3, S), jnp.int32) for _ in range(3)]
     for s in range(S):
         for k in range(3):
-            v_cols[k].append(jnp.stack([trip[k][c] for c in range(3)], axis=1))
+            V[k] = jnp.where(iota_s == s, trip[k][:, :, None], V[k])
         rs = (r1, r2, r3)
         ts = (t1, t2, t3)
         new_trip = []
         for k in range(3):
             tag = ts[k][:, s]  # (B,)
-            newk = []
+            newk = jnp.zeros((B, 3), jnp.int32)
             for c in range(3):
                 tv = jnp.where(
                     tag == 0,
-                    trip[0][c],
-                    jnp.where(tag == 1, trip[1][c], trip[2][c]),
+                    trip[0][:, c],
+                    jnp.where(tag == 1, trip[1][:, c], trip[2][:, c]),
                 )
                 lut = rs[k][c][:, s, :]  # (B, 256)
                 oh = iota256 == tv[:, None]
-                newk.append(jnp.sum(jnp.where(oh, lut, 0), axis=1))
+                val = jnp.sum(jnp.where(oh, lut, 0), axis=1)
+                newk = jnp.where(iota3 == c, val[:, None], newk)
             new_trip.append(newk)
         trip = new_trip
-
-    # per-lag entry values per segment: (B, 3, S)
-    V = [jnp.stack(v_cols[k], axis=2) for k in range(3)]
 
     # ---- replay with true inputs
     v1, v2, v3 = V

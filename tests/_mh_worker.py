@@ -31,19 +31,44 @@ def main() -> int:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    from nicetpu.dist.multihost import encode_multihost, initialize_distributed
+    from nicetpu.dist.multihost import (
+        decode_multihost,
+        encode_multihost,
+        initialize_distributed,
+    )
 
     initialize_distributed(coordinator, n_procs, pid)
     assert jax.process_count() == n_procs, jax.process_count()
     assert len(jax.devices()) == 4 * n_procs, jax.devices()
 
-    data = encode_multihost(make_image())
+    img = make_image()
+    data = encode_multihost(img)
     if pid == 0:
         assert data is not None
         with open(out_file, "wb") as f:
             f.write(data)
     else:
         assert data is None
+
+    # decode leg: every process needs the bytes; proc 0 broadcasts via the
+    # out_file (the coordinator-visible filesystem stands in for the
+    # loader's side channel)
+    import time
+
+    for _ in range(100):
+        try:
+            blob = open(out_file, "rb").read()
+            if blob:
+                break
+        except FileNotFoundError:
+            pass
+        time.sleep(0.1)
+    out = decode_multihost(blob)
+    if pid == 0:
+        assert out is not None
+        assert np.array_equal(out, img), "multihost decode mismatch"
+    else:
+        assert out is None
     return 0
 
 
