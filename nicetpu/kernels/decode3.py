@@ -710,6 +710,12 @@ def _use_pallas_walk() -> bool:
     return _HAS_PALLAS and jax.default_backend() not in ("cpu",)
 
 
+def _recon_blk(width: int) -> int:
+    from nicetpu.kernels.recon_pallas import max_batch_for_width
+
+    return max_batch_for_width(width)
+
+
 def _sym_join(bins, sym_tbl):
     """Canonical-index bins -> symbols via per-image tables."""
     if _use_pallas_walk():
@@ -832,14 +838,24 @@ def _decode_core_v3(
         out = jax.vmap(lambda f, d, r: reconstruct_serial(f, d, r, n_pixels, width))(
             form, delta, refoff
         )
-    elif _use_pallas_walk() and width % 128 == 0:
+    elif _use_pallas_walk() and _recon_blk(width):
         # single-kernel row loop: the XLA scan paid ~160 us/row of op
-        # scheduling on ~30 us of VPU work (see recon_pallas docstring)
+        # scheduling on ~30 us of VPU work (see recon_pallas docstring);
+        # batches chunk to the kernel's Mosaic stack budget
         from nicetpu.kernels.recon_pallas import reconstruct_rows_pallas
 
-        out = reconstruct_rows_pallas(
-            form, delta, refoff, n_pixels=n_pixels, width=width
-        )
+        b_blk = _recon_blk(width)
+        outs = [
+            reconstruct_rows_pallas(
+                form[i : i + b_blk],
+                delta[i : i + b_blk],
+                refoff[i : i + b_blk],
+                n_pixels=n_pixels,
+                width=width,
+            )
+            for i in range(0, B, b_blk)
+        ]
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     else:
         out = jax.vmap(
             lambda f, d, r: reconstruct_rows(f, d, r, n_pixels, width, segs)

@@ -46,6 +46,22 @@ except Exception:  # pragma: no cover
 
 LANE = 128  # positions per segment (the TPU lane count)
 
+# Mosaic stack budget: the unrolled build keeps ~25 (B, S, 256) int32
+# temporaries live; measured 33.69 MiB at B*S = 32 => ~1.05 MiB per
+# image-segment.  Keep B*S under this bound per kernel invocation and
+# chunk larger batches (max_batch_for_width); wider rasters than
+# S = MAX_BS segments fall back to the XLA reconstruction.
+MAX_BS = 88
+
+
+def max_batch_for_width(width: int) -> int:
+    """Images per kernel invocation within the Mosaic stack budget
+    (0 = width too wide for the Pallas path)."""
+    S = width // LANE
+    if width % LANE or S > MAX_BS:
+        return 0
+    return max(1, MAX_BS // S)
+
 
 def _recon_kernel(
     f_ref,  # (1, B, W) int32
