@@ -98,7 +98,11 @@ def _config5_worker(side: int) -> int:
     data = encode_multihost(img, mesh)
     t_enc = time.perf_counter() - t0
     t0 = time.perf_counter()
-    dec = decode_multihost(data, mesh)
+    # fast ladder config: the robust config's walk records (~4x the step
+    # budget x 3 rounds) OOM a 128 GB host at 16K^2 on the virtual mesh;
+    # photo-like content crosses at steps_div=8 (gate-checked — a miss
+    # would fall back to the host decoder, visible as a huge t_dec)
+    dec = decode_multihost(data, mesh, steps_div=8, rounds=2)
     t_dec = time.perf_counter() - t0
     ok = bool(np.array_equal(dec, img))
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
@@ -204,24 +208,50 @@ def main():
         "fused dispatch, payload resident",
     )
 
-    args2, kw2 = decode3.prepare_batch_args(outs)
-    csum2 = jax.jit(
-        lambda *a: (lambda o, k, g: (jnp.sum(o.astype(jnp.int32), axis=(1, 2)), k))(
-            *decode3._decode_core_v3(*a, **kw2)
-        )
-    )
-    s_d, ok_d = csum2(*args2)
-    ok_all = bool(np.asarray(ok_d).all())
+    # compute-only decode with the SAME retry ladder as the production
+    # path: fast config first, robust config for any image it can't verify
+    # (a fast-config-only probe reported ok=False on photos whose dense
+    # regions exhaust the fast step budget)
+    def ladder_csum(blobs):
+        args_l, base_l = decode3.prepare_batch_args(blobs)
+        fns = []
+        for sd, rd in decode3.LADDER:
+            kw_l = {
+                **base_l,
+                "steps": decode3._steps(base_l["chunk_bits"], sd),
+                "rounds": rd,
+            }
+            fns.append(
+                jax.jit(
+                    lambda *a, _k=kw_l: (
+                        lambda o, k, g: (jnp.sum(o.astype(jnp.int32), axis=(1, 2)), k)
+                    )(*decode3._decode_core_v3(*a, **_k))
+                )
+            )
+
+        def run():
+            ok_acc = None
+            for fn in fns:
+                s_d, ok_d = fn(*args_l)
+                ok_np = np.asarray(ok_d)
+                ok_acc = ok_np if ok_acc is None else (ok_acc | ok_np)
+                if ok_acc.all():
+                    break
+            return bool(ok_acc.all())
+
+        return run
+
+    run2 = ladder_csum(outs)
+    ok_all = run2()
     t0 = time.perf_counter()
     for _ in range(reps):
-        s_d, _ = csum2(*args2)
-        np.asarray(s_d)
+        run2()
     dt = (time.perf_counter() - t0) / reps
     report(
         "Kodak-24 device-compute decode (real photos)",
         imgs.nbytes / 1e6 / dt,
         "MB/s",
-        f"v3 pipeline, ok={ok_all}, raster resident",
+        f"v3 pipeline + retry ladder, ok={ok_all}, raster resident",
     )
 
     simgs = np.stack([make_img(512, 768, s) for s in range(24)])
@@ -266,22 +296,16 @@ def main():
             "MB/s",
             f"bit-exact={ok} decode_fallbacks={stats['fallbacks']}",
         )
-        args3, kw3 = decode3.prepare_batch_args([blob])
-        csum3 = jax.jit(
-            lambda *a: (
-                lambda o, k, g: (jnp.sum(o.astype(jnp.int32), axis=(1, 2)), k)
-            )(*decode3._decode_core_v3(*a, **kw3))
-        )
-        s3, ok3 = csum3(*args3)
+        run3 = ladder_csum([blob])
+        ok3 = run3()
         t0 = time.perf_counter()
-        s3, _ = csum3(*args3)
-        np.asarray(s3)
+        ok3 = run3()
         dt = time.perf_counter() - t0
         report(
             "2048x2048 device-compute decode",
             soccer.nbytes / 1e6 / dt,
             "MB/s",
-            f"ok={bool(np.asarray(ok3).all())}, raster resident",
+            f"v3 pipeline + retry ladder, ok={ok3}, raster resident",
         )
 
     # 4. 100-image mixed-size streamed set: REAL patches at mixed sizes
@@ -305,6 +329,8 @@ def main():
     # 5. large single-raster sharded round-trip on the 8-device VIRTUAL CPU
     #    mesh (no pod slice on this host; validates the multi-chip path at
     #    scale, NOT ICI throughput).
+    if os.environ.get("NICETPU_SKIP_CONFIG5"):
+        return
     side = int(os.environ.get("NICETPU_CONFIG5_SIDE", "16384"))
     try:
         r = subprocess.run(

@@ -10,7 +10,9 @@ This script times, at B = 1 / 4 / 8 (512x512 images, resident batches):
   fused     - single dispatch, device tables (production encode2.encode_fused)
   twostep   - dispatch 1: tokenize+histogram, SYNC counts to host, build
               tables on host (numpy), dispatch 2: join+fold+place
-Prints one JSON line per batch size.  Commit the output as
+Prints one JSON line per batch size (each batch size runs in its own
+process: the tunnel backend rejects re-dispatch after a different batch
+shape compiled in the same process).  Commit the output as
 BENCH_huffman_r{N}.json.
 """
 
@@ -28,7 +30,7 @@ import numpy as np
 from bench import make_image
 
 
-def main() -> int:
+def main(sizes=(1, 4, 8)) -> int:
     import jax
     import jax.numpy as jnp
 
@@ -75,19 +77,28 @@ def main() -> int:
         words, totals = stage2(bins, aob, code)
         return np.asarray(totals)
 
-    for B in (1, 4, 8):
+    def retry(fn, *a):
+        """The tunnel backend sporadically fails a fetch right after heavy
+        compiles; one retry, like the production pipeline."""
+        try:
+            return fn(*a)
+        except jax.errors.JaxRuntimeError:
+            time.sleep(1.0)
+            return fn(*a)
+
+    for B in sizes:
         imgs = [make_image(H, W, s) for s in range(B)]
         flat = upload_batch(imgs)
         mb = B * imgs[0].nbytes / 1e6
-        tf = twostep(flat)
-        sf = fused(flat)
+        sf = retry(fused, flat)
+        tf = retry(twostep, flat)
         assert int(sf[:, 858].sum()) == int(tf.sum()), "total bits disagree"
         res = {}
         for name, fn in (("fused_device_tables", fused), ("twostep_host_tables", twostep)):
             best = float("inf")
             for _ in range(4):
                 t0 = time.perf_counter()
-                fn(flat)
+                retry(fn, flat)
                 best = min(best, time.perf_counter() - t0)
             res[name] = round(best * 1e3, 1)
         print(
@@ -109,4 +120,18 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    if len(sys.argv) > 1 and sys.argv[1] == "_one":
+        raise SystemExit(main((int(sys.argv[2]),)))
+    import subprocess
+
+    for b in (1, 4, 8):
+        r = subprocess.run(
+            [sys.executable, __file__, "_one", str(b)],
+            capture_output=True, text=True, timeout=900,
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+        if r.returncode:
+            print(f'{{"B": {b}, "error": "worker rc {r.returncode}"}}', flush=True)
+    raise SystemExit(0)

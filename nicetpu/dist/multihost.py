@@ -110,7 +110,7 @@ def encode_multihost(img: np.ndarray, mesh=None) -> bytes | None:
     return data if jax.process_index() == 0 else None
 
 
-def decode_multihost(data: bytes, mesh=None) -> np.ndarray | None:
+def decode_multihost(data: bytes, mesh=None, **kw) -> np.ndarray | None:
     """Decode a `.nice` raster sharded across all hosts; returns the raster
     on process 0, None elsewhere (VERDICT r3 next #4 — the encode-only
     multihost wrapper left sharded decode single-process).
@@ -125,6 +125,8 @@ def decode_multihost(data: bytes, mesh=None) -> np.ndarray | None:
 
     mesh = mesh or make_mesh()
     if jax.process_count() == 1:
-        return decode_sharded(data, mesh)
-    out = decode_sharded(data, mesh, fetch=lambda x: _fetch_replicated(x, mesh))
+        return decode_sharded(data, mesh, **kw)
+    out = decode_sharded(
+        data, mesh, fetch=lambda x: _fetch_replicated(x, mesh), **kw
+    )
     return out if jax.process_index() == 0 else None

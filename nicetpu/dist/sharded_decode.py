@@ -202,7 +202,8 @@ def build_sharded_decode(
 
 
 def decode_sharded(
-    data: bytes, mesh: Mesh, *, rounds: int = 3, fetch=np.asarray
+    data: bytes, mesh: Mesh, *, rounds: int = 3,
+    steps_div: int = d3.STEPS_DIV, fetch=np.asarray
 ) -> np.ndarray:
     """Decode one `.nice` stream sharded across the mesh (single-raster
     mode).  Falls back to the host spec decoder if the device gates fail.
@@ -231,7 +232,8 @@ def decode_sharded(
     wbits = len(payload) * 8
     chunk_bits = d3.CHUNK_BITS
     fn, nlc, steps = build_sharded_decode(
-        mesh, H, W, wbits, rounds=rounds, maxl=d3.pick_maxl_streams(stream_max)
+        mesh, H, W, wbits, rounds=rounds, steps_div=steps_div,
+        maxl=d3.pick_maxl_streams(stream_max),
     )
     wpc = chunk_bits // 32
     wrows = d3._wrows(chunk_bits)
