@@ -7,7 +7,9 @@ Two shardings (SURVEY §2.2 / §5, VERDICT r2 missing #2):
   batch-parallel, so XLA partitions it with zero collectives.
 
 * **Single-raster mode** (`decode_sharded`): ONE bitstream decoded across
-  the mesh.  The speculative chunk walk is sharded by chunk ranges (each
+  the mesh.  (Validated/benchmarked on the virtual CPU mesh — the shard
+  body runs the jnp `walk_ref`; routing it through the Pallas walk kernel
+  on a real TPU mesh is a known follow-up, ADVICE r3.)  The speculative chunk walk is sharded by chunk ranges (each
   device holds only its slice of the payload words + a small halo); entry
   propagation between walk rounds crosses shards with a `ppermute` of one
   scalar per device — the same anchored-induction consistency gate as the
