@@ -115,14 +115,7 @@ def main() -> int:
         N = H * W
         w_cap = _w_cap(N)
         encode_batch_resident(batches[0][1], shape, batches[0][0])
-        words_w, small_w = encode_fused(
-            batches[0][1], width=W, ndigits_cap=3, w_cap=w_cap
-        )
-        small_w = np.asarray(small_w)
-        wver = decode3.verify_words_device(
-            words_w, small_w[:, 858], small_w[:, :858], batches[0][1],
-            skip=small_w[:, 859].astype(bool), n_pixels=N, width=W,
-        )
+        _, _, wver = decode3.roundtrip_verify_fused(batches[0][1], width=W)
         assert wver.all(), "warmup device round-trip not verified"
         pipeline.pop_stats()
         results, stats = roundtrip_hybrid(
@@ -148,6 +141,13 @@ def main() -> int:
             dt = time.perf_counter() - t0
             value = max(value, mb / dt)
             shares.append(stats["tpu_batches"] / len(batches))
+            # per-rep honesty anchor: one TPU-produced blob must decode to
+            # the original through the UNRELATED native decoder too (the
+            # device-verified images return the resident original as their
+            # decode, so the host equality assert alone would be tautological)
+            anchor = rep % N_IMAGES
+            ad = results[anchor // BATCH][anchor % BATCH][0]
+            assert np.array_equal(oracle.decode_native(ad), imgs[anchor])
             print(
                 f"rep {rep}: {mb / dt:.1f} MB/s tpu_share="
                 f"{shares[-1]:.2f} errors={stats['tpu_errors']}",
@@ -178,28 +178,34 @@ def main() -> int:
             best = max(best, 4 * BATCH * imgs[0].nbytes / 1e6 / (time.perf_counter() - t0))
         extras["device_only"] = round(best, 2)
 
-        # pure device ROUND-TRIP: fused encode + device-resident v3 decode +
-        # on-device bit-exact verification; only (B, 860) smalls + 2B flags
-        # cross the wire.  Fails the run if verification fails.
+        # pure device ROUND-TRIP: ONE fused dispatch per batch (encode +
+        # on-device table build + decode + bit-exact verify); only the
+        # (B, 862) small2 crosses the wire.  Dispatches for all batches are
+        # enqueued before any fetch so compute and the small fetches
+        # pipeline.  Fails the run if verification fails.
         try:
-            def dev_rt(dev):
-                words_d, small_d = encode_fused(
-                    dev, width=W, ndigits_cap=3, w_cap=w_cap
-                )
-                small = np.asarray(small_d)
-                ver = decode3.verify_words_device(
-                    words_d, small[:, 858], small[:, :858], dev,
-                    skip=small[:, 859].astype(bool), n_pixels=N, width=W,
-                )
-                return ver
+            rt_kw = dict(
+                width=W, ndigits_cap=3, w_cap=decode3.roundtrip_cap_words(N),
+                cfg=decode3.LADDER[0], maxl=decode3.FUSED_MAXL,
+                segs=decode3._segs_for(W),
+            )
 
-            assert dev_rt(batches[0][1]).all(), "device round-trip not verified"
+            def dev_rt_round(n_batches: int) -> None:
+                outs = [
+                    decode3._roundtrip_fused_jit(dev, **rt_kw)[1]
+                    for _, dev in batches[:n_batches]
+                ]
+                for small2_d in outs:
+                    small2 = np.asarray(small2_d)
+                    ver = small2[:, 860].astype(bool) & small2[:, 861].astype(bool)
+                    assert ver.all(), "device round-trip not verified"
+
+            dev_rt_round(1)  # warm
             best = 0.0
             for _ in range(reps_left(3)):
                 t0 = time.perf_counter()
-                vs = [dev_rt(dev) for _, dev in batches[:4]]
+                dev_rt_round(4)
                 dt = time.perf_counter() - t0
-                assert all(v.all() for v in vs)
                 best = max(best, 4 * BATCH * imgs[0].nbytes / 1e6 / dt)
             extras["device_roundtrip"] = round(best, 2)
         except Exception as e:  # pragma: no cover

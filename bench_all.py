@@ -72,6 +72,16 @@ def report(config, value, unit, note=""):
     )
 
 
+def report_verified(config, value, unit, ok, note=""):
+    """REFUSE to report throughput for unverified output (VERDICT r4 next
+    #2: an artifact that records the speed of producing garbage is worse
+    than a missing one)."""
+    if not ok:
+        report(config, 0, unit, f"FAILED VERIFICATION (not reporting throughput); {note}")
+    else:
+        report(config, value, unit, note)
+
+
 def _config5_worker(side: int) -> int:
     """Single-raster sharded encode+decode on the 8-device virtual CPU mesh
     at the BASELINE config-5 spec size (16384 default), through the
@@ -88,22 +98,36 @@ def _config5_worker(side: int) -> int:
     from nicetpu.dist.multihost import decode_multihost, encode_multihost
     from nicetpu.dist.sharded import make_mesh
 
+    def stage(msg):
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        print(f"config5[{side}]: {msg} (peak rss {rss:.1f} GB)", file=sys.stderr, flush=True)
+
     mesh = make_mesh(8)
+    stage("mesh up; building image")
     img = make_img(side, side, 5)
     mb = img.nbytes / 1e6
+    stage(f"image built ({mb:.0f} MB); cold encode")
     t0 = time.perf_counter()
     data = encode_multihost(img, mesh)
     t_enc_cold = time.perf_counter() - t0
+    stage(f"cold encode done in {t_enc_cold:.0f}s ({len(data)} bytes); warm encode")
     t0 = time.perf_counter()
     data = encode_multihost(img, mesh)
     t_enc = time.perf_counter() - t0
+    wbits = len(data) * 8
+    # walk-record budget: the speculative walk emits wbits/steps_div slot
+    # records x 4 int32 arrays; log it so an OOM death is attributable
+    # (VERDICT r4 next #3 — budget the memory, don't hope)
+    rec_gb = wbits / 8 * 16 / 1e9
+    stage(f"warm encode {mb / t_enc:.1f} MB/s; decode (walk records ~{rec_gb:.1f} GB)")
     t0 = time.perf_counter()
-    # fast ladder config: the robust config's walk records (~4x the step
-    # budget x 3 rounds) OOM a 128 GB host at 16K^2 on the virtual mesh;
-    # photo-like content crosses at steps_div=8 (gate-checked — a miss
-    # would fall back to the host decoder, visible as a huge t_dec)
+    # fast ladder config: the robust config's walk records (~2.7x the step
+    # budget x 3 rounds) would triple that budget; photo-like content
+    # crosses at steps_div=8 (gate-checked — a miss would fall back to the
+    # host decoder, visible as a huge t_dec)
     dec = decode_multihost(data, mesh, steps_div=8, rounds=2)
     t_dec = time.perf_counter() - t0
+    stage(f"decode done in {t_dec:.0f}s; verifying")
     ok = bool(np.array_equal(dec, img))
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(
@@ -215,11 +239,14 @@ def main():
     def ladder_csum(blobs):
         args_l, base_l = decode3.prepare_batch_args(blobs)
         fns = []
-        for sd, rd in decode3.LADDER:
+        for rung in decode3.LADDER:
+            cfg = decode3._as_cfg(rung)
             kw_l = {
                 **base_l,
-                "steps": decode3._steps(base_l["chunk_bits"], sd),
-                "rounds": rd,
+                "chunk_bits": cfg.chunk_bits,
+                "steps": decode3._steps(cfg.chunk_bits, cfg.steps_div),
+                "rounds": cfg.rounds,
+                "rows": cfg.rows,
             }
             fns.append(
                 jax.jit(
@@ -245,12 +272,13 @@ def main():
     ok_all = run2()
     t0 = time.perf_counter()
     for _ in range(reps):
-        run2()
+        ok_all = run2() and ok_all
     dt = (time.perf_counter() - t0) / reps
-    report(
+    report_verified(
         "Kodak-24 device-compute decode (real photos)",
         imgs.nbytes / 1e6 / dt,
         "MB/s",
+        ok_all,
         f"v3 pipeline + retry ladder, ok={ok_all}, raster resident",
     )
 
@@ -299,12 +327,13 @@ def main():
         run3 = ladder_csum([blob])
         ok3 = run3()
         t0 = time.perf_counter()
-        ok3 = run3()
+        ok3 = run3() and ok3
         dt = time.perf_counter() - t0
-        report(
+        report_verified(
             "2048x2048 device-compute decode",
             soccer.nbytes / 1e6 / dt,
             "MB/s",
+            ok3,
             f"v3 pipeline + retry ladder, ok={ok3}, raster resident",
         )
 
@@ -332,26 +361,34 @@ def main():
     if os.environ.get("NICETPU_SKIP_CONFIG5"):
         return
     side = int(os.environ.get("NICETPU_CONFIG5_SIDE", "16384"))
+    r = None
     try:
         r = subprocess.run(
             [sys.executable, __file__, "_config5", str(side)],
             capture_output=True,
             text=True,
-            timeout=3000,
+            timeout=4500,
             env={**os.environ, "JAX_PLATFORMS": "cpu"},
         )
         line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
         res = json.loads(line)
-        report(
+        report_verified(
             f"{side}x{side} sharded encode+decode (8-dev VIRTUAL cpu mesh)",
             res["encode_mb_s"],
             "MB/s",
+            res["bit_exact"],
             f"bit-exact={res['bit_exact']} decode={res['decode_mb_s']} MB/s "
             f"peak_host_rss={res.get('peak_host_rss_gb', '?')} GB "
             "(virtual CPU devices, not ICI)",
         )
     except Exception as e:  # pragma: no cover
-        report(f"{side}x{side} sharded (virtual mesh)", 0, "MB/s", f"failed: {e}")
+        # carry the worker's last words into the artifact: the r4 row lost
+        # the actual failure cause by discarding stderr (VERDICT r4 next #3)
+        tail = ""
+        if r is not None and (r.stderr or r.stdout):
+            lines = ((r.stderr or "") + (r.stdout or "")).strip().splitlines()
+            tail = " | worker tail: " + " / ".join(lines[-4:])[-500:]
+        report(f"{side}x{side} sharded (virtual mesh)", 0, "MB/s", f"failed: {e}{tail}")
 
 
 if __name__ == "__main__":

@@ -51,17 +51,20 @@ def main() -> int:
     chunk_bits = kw["chunk_bits"]
     steps = kw["steps"]
     maxl = kw["maxl"]
+    rows = kw["rows"]
+    cpb = d3._cpb(rows)
     Wn = words.shape[1]
     wpc = chunk_bits // 32
-    nch_pad = (Wn - d3._wrows(chunk_bits)) // wpc
-    KB = nch_pad // d3.CPB
+    nch_pad = ((Wn - d3._wrows(chunk_bits)) // wpc // cpb) * cpb
+    KB = nch_pad // cpb
+    aff, dD, inc = jax.jit(d3.derive_walk_tables)(af, present, ib)
 
     entries0 = jnp.broadcast_to(
         jnp.arange(nch_pad, dtype=jnp.int32)[None, :] * chunk_bits, (B, nch_pad)
     )
 
     # --- stage: make_word_blocks
-    mwb = jax.jit(lambda w: d3.make_word_blocks(w, nch_pad, chunk_bits))
+    mwb = jax.jit(lambda w: d3.make_word_blocks(w, nch_pad, chunk_bits, rows))
     blk = mwb(words)
     blk.block_until_ready()
     t_blk = timeit(lambda: mwb(words).block_until_ready())
@@ -69,8 +72,8 @@ def main() -> int:
     # --- stage: one walk round (records + exits)
     def walk1(e):
         pos, sym, i12, i34, exits = d3.walk_pallas(
-            blk, d3.chunk_layout(e, KB), af, present, ib, pfx, wbits,
-            chunk_bits=chunk_bits, steps=steps, maxl=maxl,
+            blk, d3.chunk_layout(e, KB, rows), aff, dD, inc, pfx, wbits,
+            chunk_bits=chunk_bits, steps=steps, maxl=maxl, rows=rows,
         )
         return exits
 
@@ -93,12 +96,13 @@ def main() -> int:
     def no_recon(*a):
         words_, wbits_, af_, present_, ib_, pfx_, sym_tbl_ = a
         e = entries0
-        blkx = d3.make_word_blocks(words_, nch_pad, chunk_bits)
+        blkx = d3.make_word_blocks(words_, nch_pad, chunk_bits, rows)
+        affx, dDx, incx = d3.derive_walk_tables(af_, present_, ib_)
 
         def walk(ee):
             pos, sym, i12, i34, exits = d3.walk_pallas(
-                blkx, d3.chunk_layout(ee, KB), af_, present_, ib_, pfx_, wbits_,
-                chunk_bits=chunk_bits, steps=steps, maxl=maxl,
+                blkx, d3.chunk_layout(ee, KB, rows), affx, dDx, incx, pfx_, wbits_,
+                chunk_bits=chunk_bits, steps=steps, maxl=maxl, rows=rows,
             )
             return pos, sym, i12, i34, d3.chunk_unlayout(exits)
 
@@ -126,17 +130,18 @@ def main() -> int:
     def walks_only(*a):
         words_, wbits_, af_, present_, ib_, pfx_, sym_tbl_ = a
         e = entries0
-        blkx = d3.make_word_blocks(words_, nch_pad, chunk_bits)
+        blkx = d3.make_word_blocks(words_, nch_pad, chunk_bits, rows)
+        affx, dDx, incx = d3.derive_walk_tables(af_, present_, ib_)
         for _ in range(kw["rounds"] - 1):
             _, _, _, _, exx = d3.walk_pallas(
-                blkx, d3.chunk_layout(e, KB), af_, present_, ib_, pfx_, wbits_,
-                chunk_bits=chunk_bits, steps=steps, maxl=maxl,
+                blkx, d3.chunk_layout(e, KB, rows), affx, dDx, incx, pfx_, wbits_,
+                chunk_bits=chunk_bits, steps=steps, maxl=maxl, rows=rows,
             )
             exx = d3.chunk_unlayout(exx)
             e = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), exx[:, :-1]], axis=1)
         pos, sym, i12, i34, ex2 = d3.walk_pallas(
-            blkx, d3.chunk_layout(e, KB), af_, present_, ib_, pfx_, wbits_,
-            chunk_bits=chunk_bits, steps=steps, maxl=maxl,
+            blkx, d3.chunk_layout(e, KB, rows), affx, dDx, incx, pfx_, wbits_,
+            chunk_bits=chunk_bits, steps=steps, maxl=maxl, rows=rows,
         )
         return jnp.sum(ex2), jnp.sum(sym)
 

@@ -7,9 +7,10 @@ Two shardings (SURVEY §2.2 / §5, VERDICT r2 missing #2):
   batch-parallel, so XLA partitions it with zero collectives.
 
 * **Single-raster mode** (`decode_sharded`): ONE bitstream decoded across
-  the mesh.  (Validated/benchmarked on the virtual CPU mesh — the shard
-  body runs the jnp `walk_ref`; routing it through the Pallas walk kernel
-  on a real TPU mesh is a known follow-up, ADVICE r3.)  The speculative chunk walk is sharded by chunk ranges (each
+  the mesh.  On TPU meshes the shard body runs the SAME Pallas walk kernel
+  as the single-chip path (chunk0 rides the scalar-prefetch channel); the
+  jnp `walk_ref` twin serves the virtual CPU mesh and parity tests
+  (ADVICE r3 / VERDICT r4 next #5 resolved in r5).  The speculative chunk walk is sharded by chunk ranges (each
   device holds only its slice of the payload words + a small halo); entry
   propagation between walk rounds crosses shards with a `ppermute` of one
   scalar per device — the same anchored-induction consistency gate as the
@@ -65,13 +66,40 @@ def _decode_shard_body(
     bit_base = chunk0 * chunk_bits
     starts = (chunk0 + jnp.arange(nlc, dtype=jnp.int32)) * chunk_bits
     fwd = [(i, i + 1) for i in range(n_dev - 1)]
+    aff, dD, inc = d3.derive_walk_tables(
+        af[None], present[None], ib[None]
+    )  # (1, 10, 32) each
 
-    def walk(e):
-        return d3.walk_ref(
-            words_l, e, af, present, ib, pfx[0], wbits,
-            chunk_bits=chunk_bits, steps=steps, maxl=maxl,
-            chunk0=chunk0, bit_base=bit_base,
-        )
+    if d3._use_pallas_walk():
+        # TPU mesh: the shard-local walk runs the SAME Pallas kernel as the
+        # single-chip path (VERDICT r4 next #5 — the jnp scan's
+        # data-dependent gathers cost ~55-400 us/iteration on real chips);
+        # chunk0 rides the kernel's scalar-prefetch channel so local word
+        # blocks walk global bit positions.
+        rows = d3._rows_for(chunk_bits)
+        KB = nlc // (rows * 128)
+        words_blk = d3.make_word_blocks(words_l[None], nlc, chunk_bits, rows)
+
+        def walk(e):
+            pos, sym, i12, i34, exits = d3.walk_pallas(
+                words_blk, d3.chunk_layout(e[None], KB, rows), aff, dD, inc,
+                pfx[None], wbits[None], chunk_bits=chunk_bits, steps=steps,
+                maxl=maxl, rows=rows, chunk0=chunk0[None],
+            )
+            flat = lambda r: d3.flatten_records(r)[0].reshape(nlc, steps)
+            return (
+                flat(pos), flat(sym), flat(i12), flat(i34),
+                d3.chunk_unlayout(exits)[0],
+            )
+
+    else:
+
+        def walk(e):
+            return d3.walk_ref(
+                words_l, e, aff[0], dD[0], inc[0], pfx[0], wbits,
+                chunk_bits=chunk_bits, steps=steps, maxl=maxl,
+                chunk0=chunk0, bit_base=bit_base,
+            )
 
     # Speculative rounds with cross-shard entry propagation (anchor: device
     # 0's first entry is bit 0 — ppermute delivers 0 to device 0's slot).
@@ -177,6 +205,9 @@ def build_sharded_decode(
         raise ValueError(f"height {height} must split into >= 4-row blocks over {n_dev}")
     nch = -(-wbits_max // chunk_bits)
     nlc = -(-nch // n_dev)
+    # Pallas path: each device's chunk count pads to whole kernel blocks
+    align = d3._cpb(d3._rows_for(chunk_bits))
+    nlc = -(-nlc // align) * align
     steps = d3._steps(chunk_bits, steps_div)
     body = partial(
         _decode_shard_body,
@@ -285,35 +316,24 @@ def decode_batch_sharded(
     args, base_kw = d3.prepare_batch_args(datas)
     shard = NamedSharding(mesh, P("d"))
     args = tuple(jax.device_put(a, shard) for a in args)
-    out_np = None
-    ok_np = np.zeros(len(datas), bool)
-    retries = 0
-    for steps_div, rounds in d3.LADDER:
+
+    def call(rung):
+        cfg = d3._as_cfg(rung)
         out, ok, _gates = d3._device_decode_v3(
             *args,
             **{
                 **base_kw,
-                "steps": d3._steps(base_kw["chunk_bits"], steps_div),
-                "rounds": rounds,
+                "chunk_bits": cfg.chunk_bits,
+                "steps": d3._steps(cfg.chunk_bits, cfg.steps_div),
+                "rounds": cfg.rounds,
+                "rows": cfg.rows,
             },
         )
-        ok_new = np.asarray(ok)
-        out_new = np.asarray(out)
-        if out_np is None:
-            out_np, ok_np = out_new, ok_new
-        else:
-            if not out_np.flags.writeable:
-                out_np = out_np.copy()
-            upd = ok_new & ~ok_np
-            out_np[upd] = out_new[upd]
-            ok_np = ok_np | ok_new
-        if ok_np.all():
-            break
-        retries += 1
-    if stats is not None:
-        stats["fallbacks"] = int((~ok_np).sum())
-        stats["retries"] = retries
-        stats["ok"] = [bool(x) for x in ok_np]
+        return ok, (out,), None
+
+    ok_np, (out_np,) = d3.run_ladder(
+        call, len(datas), ladder=d3.LADDER, stats=stats
+    )
     from nicetpu.format import headers
 
     W, H, _ = headers.parse_file_header(datas[0])

@@ -64,22 +64,50 @@ from nicetpu.kernels.decode_dev import (
 # ---------------------------------------------------------------------------
 # Walk geometry
 # ---------------------------------------------------------------------------
-# Chunk size is a self-synchronization safety margin: near-fixed-length
-# streams (uniform noise -> almost fixed 25-bit RGB groups) realign slowly;
-# measured sync-failure rates per chunk on a pure-noise stream were 26% at
-# 1024 bits, 11% at 2048, 0/18 at 4096.  Every failure is caught by the
-# consistency gate (host fallback), so 4096 buys throughput, not correctness.
-CHUNK_BITS = 4096
-STEPS_DIV = 3  # robust step budget divisor (min real group ~3 bits)
-# Retry ladder for the batch decoder: (steps_div, rounds) configs tried in
-# order.  The fast config covers photographic content (avg group ~8-25 bits,
-# one propagation round); the robust config covers dense short-group regions
-# and slow self-sync.  Images still failing fall back to the host decoder.
-LADDER = ((8, 2), (3, 3))
-CPB = 1024  # chunks per kernel invocation, as an (8, 128) vector
-SBLK = 64  # walk steps per grid block (scratch carries position across)
+from typing import NamedTuple
+
+
+class WalkCfg(NamedTuple):
+    """One walk configuration (a retry-ladder rung); static under jit.
+
+    chunk_bits: payload bits per speculative chunk — a self-synchronization
+      safety margin (near-fixed-length streams realign slowly; measured
+      per-chunk sync-failure rates on a pure-noise stream: ~26% at 1024
+      bits, 11% at 2048, 0/18 at 4096.  Failures are caught by the
+      consistency gate, so small chunks buy parallel width, not wrongness).
+    rows: sublane rows per kernel block — each Pallas grid step walks a
+      (rows, 128) vector of chunks.  rows=32 makes every VPU op 4 vregs
+      wide (the r4 kernel's (8, 128) blocks were 1-vreg issue-bound).
+    steps_div: step budget divisor (budget = chunk_bits / steps_div; a
+      chunk with mean group size < steps_div bits exhausts it and fails
+      the crossing gate -> next rung).
+    rounds: speculative walk rounds (entry truth propagates >= 1 chunk per
+      round past a self-sync miss).
+    """
+
+    chunk_bits: int
+    rows: int
+    steps_div: int
+    rounds: int
+
+
+# Retry ladder: fast config first (2048-bit chunks, wide (32, 128) blocks —
+# measured on-chip: 1024-bit chunks self-sync too slowly on synthetic bench
+# content, 1/32 fast-rung verifies; 2048 verifies 32/32), then the robust
+# config (big self-sync margin, deep step budget).  Images still failing
+# fall back to the host decoder.
+LADDER = (WalkCfg(2048, 32, 8, 2), WalkCfg(4096, 8, 3, 3))
+CHUNK_BITS = LADDER[0].chunk_bits  # default chunk size (back-compat alias)
+STEPS_DIV = LADDER[1].steps_div  # robust step divisor (back-compat alias)
+SBLK = 32  # walk steps per grid block (scratch carries position across)
 MAX_GROUP_BITS = 5 * C.MAX_CODE_LEN  # prefix + <= 4 payload codes
-MAXL_BUCKETS = (8, 12, 16, 20, 24, 31)
+# Per-stream BASE length bound T (static): codes of length <= T decode in
+# the always-on unrolled loop; deeper codes (rare by construction — Kraft
+# mass of lengths > 14 is < 2^-14 per symbol) take the `_canon_ext`
+# escape, entered only when a lane of the current mode actually peeks past
+# the T+1 threshold.  Exact for ALL depths, one executable for all content.
+MAXL_BASE = 14
+MAXL_BUCKETS = (8, 12, MAXL_BASE)
 # Streams with tiny alphabets have provably short codes: lengths < alphabet.
 MAXL_SMALL = 12  # covers SC_PREFIXES (13), SC_LUMA_BACK_REF / SC_BACK_REF (11)
 _SMALL_STREAMS = frozenset(
@@ -87,6 +115,7 @@ _SMALL_STREAMS = frozenset(
 )
 
 _MSB = -0x80000000  # int32 sign bit (Python int: safe to close over in Pallas)
+_I32_MAX = 0x7FFFFFFF
 
 
 def _wrows(chunk_bits: int) -> int:
@@ -105,22 +134,28 @@ def _steps(chunk_bits: int, steps_div: int = STEPS_DIV) -> int:
     return -(-(chunk_bits // steps_div) // SBLK) * SBLK
 
 
+def _cpb(rows: int) -> int:
+    """Chunks per kernel block (jnp reference path pads to 8 only)."""
+    return rows * 128 if _use_pallas_walk() else 8
+
+
 def pick_maxl(max_len: int) -> int:
     for b in MAXL_BUCKETS:
         if max_len <= b:
             return b
-    return C.MAX_CODE_LEN
+    return MAXL_BASE
 
 
 def pick_maxl_streams(per_stream_max) -> tuple:
-    """Per-STREAM static code-length bounds, bucketed (10-tuple).
+    """Per-STREAM static BASE bounds, bucketed (10-tuple, capped at
+    MAXL_BASE).
 
     The walk's `_canon_decode` unrolls one threshold compare per candidate
-    length, so its cost is sum over visited streams of their bound; a
-    single global bound of 31 (deep codes on rare RGB/SMALL_DIFF symbols)
-    made EVERY stream pay 31 iterations — per-stream bounds cut the group
-    decode to the lengths each alphabet actually uses (~1.7x fewer
-    iterations on photo tables).  Bucketing keeps executable reuse."""
+    length up to the bound; since r5 the bound no longer has to COVER the
+    table's max length — deeper codes are exact via the `_canon_ext`
+    escape — so it is capped at MAXL_BASE and merely trims the always-on
+    loop for shallow tables.  Bucketing keeps executable reuse (the fused
+    round-trip path just uses the uniform FUSED_MAXL)."""
     return tuple(pick_maxl(int(m)) for m in per_stream_max)
 
 
@@ -131,28 +166,125 @@ def pick_maxl_streams(per_stream_max) -> tuple:
 
 
 def _stream_maxl(s: int, maxl) -> int:
-    """Per-stream length bound; maxl is an int (uniform) or a 10-tuple."""
+    """Per-stream BASE length bound; maxl is an int (uniform) or a 10-tuple."""
     m = maxl[s] if isinstance(maxl, tuple) else maxl
     return min(m, MAXL_SMALL) if s in _SMALL_STREAMS else m
 
 
-def _canon_decode(win, s, tget, maxl):
+def _deep_cap(s: int) -> int:
+    """Deepest possible code length for stream s (Huffman depth <= n-1;
+    the encoder's clamp bounds everything at MAX_CODE_LEN)."""
+    return min(C.MAX_CODE_LEN, C.ALPHABET_SIZES[s] - 1)
+
+
+def derive_walk_tables(af, present, ib):
+    """(B, 10, 32) af/present/ib decode tables -> the walk's 3-op-per-length
+    threshold tables (aff, dD, inc), each (B, 10, 32) int32.
+
+    The canonical decode "L = max{l : present[l] and af[l] <= win}" needs 3
+    predicated selects per length to track af[L]/ib[L] alongside.  Because
+    left-aligned first codes INCREASE over present lengths, the predicate
+    [l <= L] can be made monotone over ALL lengths by suffix-filling:
+
+      aff[l] = biased af of the first present length >= l
+               (INT32_MAX where none — see `inc` for why that is safe)
+      hit_l  = (win ^ MSB) >= aff[l]   <=>   l <= L        (1 op)
+      L      = sum_l hit_l * inc[l]                        (2 ops)
+      idx    = sum_l hit_l * dD[l] + (win >>> (32 - L))    (2 ops + tail)
+
+    where dD[l] telescopes D[l] = ib[l'] - first_code_value[l'] for the
+    last present l' <= l (so sum_{l<=L} dD[l] = D[L] = ib[L] - fc[L], and
+    idx = D[L] + (win >> (32-L)) = ib[L] + (win - af[L]) >> (32-L); int32
+    wraparound in the partial sums is exact mod-2^32 arithmetic).  dD is 0
+    at absent lengths.  inc[l] = 1 for l <= max present length else 0 — it
+    kills the one unrepresentable case: an all-ones window equals the
+    INT32_MAX sentinel of absent-beyond-max columns, which would otherwise
+    inflate L (dD there is already 0)."""
+    af_b = af ^ _MSB
+    big = jnp.int32(_I32_MAX)
+    pres = present != 0
+    af_bp = jnp.where(pres, af_b, big)
+    aff = jnp.flip(jax.lax.cummin(jnp.flip(af_bp, -1), axis=af_bp.ndim - 1), -1)
+    l_idx = jnp.arange(32, dtype=jnp.int32)
+    fc = jax.lax.shift_right_logical(
+        af, jnp.broadcast_to((32 - l_idx) & 31, af.shape)
+    )
+    D_at = jnp.where(pres, ib - fc, 0)
+    cols = []
+    cur = jnp.zeros_like(D_at[..., 0])
+    maxlen = jnp.zeros_like(cur)
+    for l in range(32):
+        cur = jnp.where(pres[..., l], D_at[..., l], cur)
+        maxlen = jnp.where(pres[..., l], l, maxlen)
+        cols.append(cur)
+    D_ff = jnp.stack(cols, axis=-1)
+    dD = D_ff - jnp.concatenate(
+        [jnp.zeros_like(D_ff[..., :1]), D_ff[..., :-1]], axis=-1
+    )
+    inc = (l_idx <= maxlen[..., None]).astype(jnp.int32)
+    return aff, dD, inc
+
+
+def _canon_sum(win_b, s, tget, lo: int, hi: int, L, acc):
+    """Accumulate hits over lengths lo..hi (3 predicated ops per length)."""
+    for l in range(lo, hi + 1):
+        hit = win_b >= tget("aff", s, l)
+        L = L + jnp.where(hit, tget("inc", s, l), 0)
+        acc = acc + jnp.where(hit, tget("dD", s, l), 0)
+    return L, acc
+
+
+# Skip-gating switch: when True, whole-stream decodes and the deep-code
+# extension run under lax.cond (skipped when no lane needs them); when
+# False everything runs unconditionally (same results, more compute) —
+# the bisect/fallback knob for Mosaic cond-lowering issues.
+GATING = True
+
+
+def _canon_decode(win, s, tget, maxl, mode_mask=None):
     """(L, idx) of the canonical codeword at a window for stream s.
 
-    One fused pass: L = max{l : present[l] and first_code[l] <= win}
-    (left-aligned first codes increase over present lengths), tracking
-    af[L]/ib[L] alongside, then idx = ib[L] + ((win - af[L]) >> (32 - L)).
-    Valid (Kraft-complete, host-validated) tables give L >= 1 always."""
-    L = jnp.zeros_like(win)
-    afL = jnp.zeros_like(win)
-    ibL = jnp.zeros_like(win)
-    for l in range(1, _stream_maxl(s, maxl) + 1):
-        af_l = tget("af", s, l)
-        hit = _uge(win, af_l) & (tget("present", s, l) != 0)
-        L = jnp.where(hit, l, L)
-        afL = jnp.where(hit, af_l, afL)
-        ibL = jnp.where(hit, tget("ib", s, l), ibL)
-    idx = ibL + jax.lax.shift_right_logical(win - afL, 32 - L)
+    Monotone threshold-count decode over the derive_walk_tables layout,
+    exact for ANY code depth: lengths 1..T (T = the static per-stream base
+    bound) decode in the always-on unrolled loop; the rare deeper codes
+    (Kraft mass < 2^-T per window) extend the sums under a lax.cond entered
+    only when some lane's window actually peeks past the T+1 threshold.
+
+    mode_mask (optional bool array): lanes whose decoded group actually
+    uses stream s.  Gates BOTH the whole stream decode (skipped when no
+    lane of this block is in a matching mode — on photo content most steps
+    visit 2-3 of the 10 streams) and the deep-escape trigger (an ungated
+    trigger would fire on other modes' random window bits ~ every block).
+    Lanes outside the mask get garbage (L, idx); callers must blend them
+    away (they do — by the same mask)."""
+    win_b = win ^ _MSB
+    T = _stream_maxl(s, maxl)
+    cap = _deep_cap(s)
+    zero = jnp.zeros_like(win)
+
+    def full(_):
+        L, acc = _canon_sum(win_b, s, tget, 1, T, zero, zero)
+        if T < cap:
+            if not GATING:
+                return _canon_sum(win_b, s, tget, T + 1, cap, L, acc)
+            probe = win_b >= tget("aff", s, T + 1)
+            if mode_mask is not None:
+                probe = probe & mode_mask
+            L, acc = jax.lax.cond(
+                jnp.any(probe),
+                lambda la: _canon_sum(win_b, s, tget, T + 1, cap, *la),
+                lambda la: la,
+                (L, acc),
+            )
+        return L, acc
+
+    if mode_mask is None or not GATING:
+        L, acc = full(None)
+    else:
+        L, acc = jax.lax.cond(
+            jnp.any(mode_mask), full, lambda _: (zero, zero), None
+        )
+    idx = acc + jax.lax.shift_right_logical(win, 32 - jnp.maximum(L, 1))
     return L, idx
 
 
@@ -162,13 +294,13 @@ def _decode_group(p, win_at, tget, pfx_get, maxl):
 
     win_at(q) -> int32 window (bits q..q+31, MSB-first, uint32 as int32);
     tget(table, s, l) -> scalar table value for stream s, length l
-      (table in {"af", "present", "ib"});
+      (table in {"aff", "dD", "inc"} — derive_walk_tables layout);
     pfx_get(j) -> prefix-stream canonical-order symbol j.
 
     Returns (sym, idx1..idx4, q_next).  For run digits (sym >= 5) the
     payload indices are 0 and q_next = p + prefix length.  Payload slots
-    decode per MODE with static stream ids (per-stream maxl bounds), then
-    select by the decoded mode — cheaper than blending tables per length."""
+    decode per STREAM, gated by whether any lane's decoded mode uses that
+    stream (`_canon_decode` mode_mask), then select by mode."""
     sp = C.SC_PREFIXES
     win0 = win_at(p)
     L0, idx0 = _canon_decode(win0, sp, tget, maxl)
@@ -182,7 +314,13 @@ def _decode_group(p, win_at, tget, pfx_get, maxl):
         modes = [m for m in range(5) if SLOT_STREAM[m][k] >= 0]
         streams = sorted({SLOT_STREAM[m][k] for m in modes})
         win = win_at(q)
-        per_stream = {s: _canon_decode(win, s, tget, maxl) for s in streams}
+        per_stream = {}
+        for s in streams:
+            masks = [sym == m for m in modes if SLOT_STREAM[m][k] == s]
+            mmask = masks[0]
+            for mk in masks[1:]:
+                mmask = mmask | mk
+            per_stream[s] = _canon_decode(win, s, tget, maxl, mode_mask=mmask)
         Lk = jnp.zeros_like(sym)
         idxk = jnp.zeros_like(sym)
         has = jnp.zeros_like(sym, dtype=jnp.bool_)
@@ -203,12 +341,13 @@ def _decode_group(p, win_at, tget, pfx_get, maxl):
 
 
 def walk_ref(
-    words, entries, af, present, ib, pfx_sorted, wbits,
+    words, entries, aff, dD, inc, pfx_sorted, wbits,
     *, chunk_bits, steps, maxl, chunk0=0, bit_base=0,
 ):
     """Chunked walk, one image.  words (Wn,) uint32; entries (nch,) int32
-    absolute bit positions.  Returns (pos, sym, idx12, idx34) each
-    (nch, steps) int32 (pos = -1 where frozen/dead) and exits (nch,).
+    absolute bit positions; aff/dD/inc the (10, 32) derive_walk_tables
+    threshold tables.  Returns (pos, sym, idx12, idx34) each (nch, steps)
+    int32 (pos = -1 where frozen/dead) and exits (nch,).
 
     chunk0/bit_base: for shard-local word slices — the walk handles chunks
     [chunk0, chunk0 + nch) and `words` starts at absolute bit `bit_base`
@@ -231,7 +370,7 @@ def walk_ref(
         return (w0 << sh.astype(jnp.int32)) | lo
 
     def tget(table, s, l):
-        return {"af": af, "present": present, "ib": ib}[table][s, l]
+        return {"aff": aff, "dD": dD, "inc": inc}[table][s, l]
 
     def pfx_get(j):
         return pfx_sorted[j]
@@ -262,23 +401,24 @@ def walk_ref(
 
 
 def _walk_kernel(
-    wbits_ref,  # (B,) int32 scalar-prefetch (whole array, indexed by image)
-    entries_ref,  # (1, 1, 8, 128) int32
-    wblk_ref,  # (1, 1, WROWS, 8, 128) int32 (uint32 words)
-    af_ref,  # (1, 10, 32) int32
-    present_ref,  # (1, 10, 32) int32
-    ib_ref,  # (1, 10, 32) int32
+    meta_ref,  # (B, 2) int32 scalar-prefetch: [wbits, chunk0] per image
+    entries_ref,  # (1, 1, R, 128) int32
+    wblk_ref,  # (1, 1, WROWS, R, 128) int32 (uint32 words)
+    aff_ref,  # (1, 10, 32) int32 (derive_walk_tables)
+    dD_ref,  # (1, 10, 32) int32
+    inc_ref,  # (1, 10, 32) int32
     pfx_ref,  # (1, 1, 16) int32
-    pos_out,  # (1, 1, 1, SBLK, 8, 128) int32
+    pos_out,  # (1, 1, 1, SBLK, R, 128) int32
     sym_out,
     i12_out,
     i34_out,
-    exit_out,  # (1, 1, 8, 128) int32
-    p_scr,  # (8, 128) int32 scratch
+    exit_out,  # (1, 1, R, 128) int32
+    p_scr,  # (R, 128) int32 scratch
     *,
     chunk_bits: int,
-    maxl: int,
+    maxl,
     wrows: int,
+    rows: int,
 ):
     kb = pl.program_id(1)
     sb = pl.program_id(2)
@@ -287,10 +427,12 @@ def _walk_kernel(
     def _():
         p_scr[:] = entries_ref[0, 0]
 
-    wbits = wbits_ref[pl.program_id(0)]
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    chunk_id = kb * CPB + sub * 128 + lane
+    wbits = meta_ref[pl.program_id(0), 0]
+    chunk0 = meta_ref[pl.program_id(0), 1]  # shard-local slices: first chunk
+    sub = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    local_id = kb * (rows * 128) + sub * 128 + lane
+    chunk_id = chunk0 + local_id
     base_bit = chunk_id * chunk_bits
     bound = base_bit + chunk_bits
 
@@ -303,8 +445,8 @@ def _walk_kernel(
 
     @pl.when(jnp.logical_not(any_alive))
     def _():
-        neg = jnp.full((8, 128), -1, jnp.int32)
-        zero = jnp.zeros((8, 128), jnp.int32)
+        neg = jnp.full((rows, 128), -1, jnp.int32)
+        zero = jnp.zeros((rows, 128), jnp.int32)
         for i in range(SBLK):
             pos_out[0, 0, 0, i] = neg
             sym_out[0, 0, 0, i] = zero
@@ -315,22 +457,22 @@ def _walk_kernel(
     @pl.when(any_alive)
     def _walk_block():
         _walk_block_body(
-            wbits_ref, entries_ref, wblk_ref, af_ref, present_ref, ib_ref,
+            meta_ref, entries_ref, wblk_ref, aff_ref, dD_ref, inc_ref,
             pfx_ref, pos_out, sym_out, i12_out, i34_out, exit_out, p_scr,
             bound=bound, wbits=wbits, base_bit=base_bit,
-            chunk_bits=chunk_bits, maxl=maxl, wrows=wrows,
+            chunk_bits=chunk_bits, maxl=maxl, wrows=wrows, rows=rows,
         )
 
 
 def _walk_block_body(
-    wbits_ref, entries_ref, wblk_ref, af_ref, present_ref, ib_ref, pfx_ref,
+    meta_ref, entries_ref, wblk_ref, aff_ref, dD_ref, inc_ref, pfx_ref,
     pos_out, sym_out, i12_out, i34_out, exit_out, p_scr,
-    *, bound, wbits, base_bit, chunk_bits, maxl, wrows,
+    *, bound, wbits, base_bit, chunk_bits, maxl, wrows, rows,
 ):
-    wblk = wblk_ref[0, 0]  # (WROWS, 8, 128)
+    wblk = wblk_ref[0, 0]  # (WROWS, R, 128)
 
     def tget(table, s, l):
-        ref = {"af": af_ref, "present": present_ref, "ib": ib_ref}[table]
+        ref = {"aff": aff_ref, "dD": dD_ref, "inc": inc_ref}[table]
         return ref[0, s, l]
 
     def pfx_get(j):
@@ -346,8 +488,8 @@ def _walk_block_body(
         hi = w >> 3
         lo = w & 7
         ngrp = wrows // 8
-        g0 = [jnp.zeros((8, 128), jnp.int32) for _ in range(8)]
-        g1 = [jnp.zeros((8, 128), jnp.int32) for _ in range(8)]
+        g0 = [jnp.zeros((rows, 128), jnp.int32) for _ in range(8)]
+        g1 = [jnp.zeros((rows, 128), jnp.int32) for _ in range(8)]
         for g in range(ngrp):
             m0 = hi == g
             for r in range(8):
@@ -357,7 +499,7 @@ def _walk_block_body(
                     g1[r] = jnp.where(hi == g - 1, row, g1[r])
         ws = []
         for j in range(8):
-            v = jnp.zeros((8, 128), jnp.int32)
+            v = jnp.zeros((rows, 128), jnp.int32)
             for t in range(15):  # lo + j = t -> word index t within [G0, G1]
                 src = g0[t] if t < 8 else g1[t - 8]
                 v = jnp.where(lo + j == t, src, v)
@@ -367,8 +509,8 @@ def _walk_block_body(
             d = jnp.maximum(q - base_bit, 0) - (w << 5)  # bit offset from word w
             dw = d >> 5  # 0..6
             sh = (d & 31)
-            w0 = jnp.zeros((8, 128), jnp.int32)
-            w1 = jnp.zeros((8, 128), jnp.int32)
+            w0 = jnp.zeros((rows, 128), jnp.int32)
+            w1 = jnp.zeros((rows, 128), jnp.int32)
             for j in range(7):
                 w0 = jnp.where(dw == j, ws[j], w0)
                 w1 = jnp.where(dw == j, ws[j + 1], w1)
@@ -402,28 +544,40 @@ except Exception:  # pragma: no cover
 
 
 def walk_pallas(
-    words_blk, entries, af, present, ib, pfx_sorted, wbits,
-    *, chunk_bits, steps, maxl, interpret: bool = False,
+    words_blk, entries, aff, dD, inc, pfx_sorted, wbits,
+    *, chunk_bits, steps, maxl, rows: int = LADDER[0].rows,
+    chunk0=None, interpret: bool = False,
 ):
-    """Batched Pallas walk.  words_blk (B, KB, WROWS, 8, 128) int32;
-    entries (B, KB, 8, 128) int32; af/present/ib (B, 10, 32) int32;
-    pfx_sorted (B, 1, 16) int32; wbits (B,) int32 (scalar-prefetched).
-    Returns pos/sym/i12/i34 (B, KB, SB, SBLK, 8, 128) and exits (B, KB, 8, 128).
-    interpret=True runs in Pallas interpret mode (CPU parity tests)."""
+    """Batched Pallas walk.  words_blk (B, KB, WROWS, R, 128) int32;
+    entries (B, KB, R, 128) int32; aff/dD/inc (B, 10, 32) int32
+    (derive_walk_tables layout); pfx_sorted (B, 1, 16) int32; wbits (B,)
+    int32 (scalar-prefetched).  R = rows sublanes per block (WalkCfg.rows).
+    chunk0 (B,) int32 (optional): global index of each image's first local
+    chunk — shard-local word slices (dist.sharded_decode) walk global bit
+    positions from local blocks.  Returns pos/sym/i12/i34
+    (B, KB, SB, SBLK, R, 128) and exits (B, KB, R, 128).  interpret=True
+    runs in Pallas interpret mode (CPU parity tests)."""
     B, KB = entries.shape[:2]
+    if chunk0 is None:
+        chunk0 = jnp.zeros((B,), jnp.int32)
+    meta = jnp.stack([wbits.astype(jnp.int32), chunk0.astype(jnp.int32)], axis=1)
     SB = steps // SBLK
-    rec_shape = (B, KB, SB, SBLK, 8, 128)
+    rec_shape = (B, KB, SB, SBLK, rows, 128)
     wrows = _wrows(chunk_bits)
-    kern = partial(_walk_kernel, chunk_bits=chunk_bits, maxl=maxl, wrows=wrows)
+    kern = partial(
+        _walk_kernel, chunk_bits=chunk_bits, maxl=maxl, wrows=wrows, rows=rows
+    )
     rec_spec = pl.BlockSpec(
-        (1, 1, 1, SBLK, 8, 128), lambda b, kb, sb, *_: (b, kb, sb, 0, 0, 0)
+        (1, 1, 1, SBLK, rows, 128), lambda b, kb, sb, *_: (b, kb, sb, 0, 0, 0)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # wbits (B,) readable whole in every step
+        num_scalar_prefetch=1,  # meta (B, 2) readable whole in every step
         grid=(B, KB, SB),
         in_specs=[
-            pl.BlockSpec((1, 1, 8, 128), lambda b, kb, sb, *_: (b, kb, 0, 0)),
-            pl.BlockSpec((1, 1, wrows, 8, 128), lambda b, kb, sb, *_: (b, kb, 0, 0, 0)),
+            pl.BlockSpec((1, 1, rows, 128), lambda b, kb, sb, *_: (b, kb, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, wrows, rows, 128), lambda b, kb, sb, *_: (b, kb, 0, 0, 0)
+            ),
             pl.BlockSpec((1, 10, 32), lambda b, kb, sb, *_: (b, 0, 0)),
             pl.BlockSpec((1, 10, 32), lambda b, kb, sb, *_: (b, 0, 0)),
             pl.BlockSpec((1, 10, 32), lambda b, kb, sb, *_: (b, 0, 0)),
@@ -434,9 +588,9 @@ def walk_pallas(
             rec_spec,
             rec_spec,
             rec_spec,
-            pl.BlockSpec((1, 1, 8, 128), lambda b, kb, sb, *_: (b, kb, 0, 0)),
+            pl.BlockSpec((1, 1, rows, 128), lambda b, kb, sb, *_: (b, kb, 0, 0)),
         ),
-        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((rows, 128), jnp.int32)],
     )
     outs = pl.pallas_call(
         kern,
@@ -447,9 +601,9 @@ def walk_pallas(
             jax.ShapeDtypeStruct(rec_shape, jnp.int32),
             jax.ShapeDtypeStruct(rec_shape, jnp.int32),
             jax.ShapeDtypeStruct(rec_shape, jnp.int32),
-            jax.ShapeDtypeStruct((B, KB, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, KB, rows, 128), jnp.int32),
         ),
-    )(wbits, entries, words_blk, af, present, ib, pfx_sorted)
+    )(meta, entries, words_blk, aff, dD, inc, pfx_sorted)
     return outs
 
 
@@ -458,15 +612,16 @@ def walk_pallas(
 # ---------------------------------------------------------------------------
 
 
-def make_word_blocks(words, nch_pad: int, chunk_bits: int):
-    """(B, Wn) uint32-as-int32 -> (B, KB, WROWS, 8, 128) per-chunk word blocks.
+def make_word_blocks(words, nch_pad: int, chunk_bits: int, rows: int):
+    """(B, Wn) uint32-as-int32 -> (B, KB, WROWS, R, 128) per-chunk word
+    blocks (R = WalkCfg.rows).
 
     Word r of chunk c = words[c * chunk_bits/32 + r]; Wn must be >=
     nch_pad * chunk_bits/32 + WROWS."""
     B = words.shape[0]
     wpc = chunk_bits // 32
     wrows = _wrows(chunk_bits)
-    KB = nch_pad // CPB
+    KB = nch_pad // (rows * 128)
     base = words[:, : nch_pad * wpc].reshape(B, nch_pad, wpc)
     nxt = jnp.concatenate(
         [base[:, 1:], jnp.zeros((B, 1, wpc), words.dtype)], axis=1
@@ -477,60 +632,60 @@ def make_word_blocks(words, nch_pad: int, chunk_bits: int):
     else:  # chunk_bits < 256 never used; guard anyway
         raise ValueError("word-block lookahead exceeds one chunk")
     blk = jnp.concatenate([base, look], axis=2)  # (B, nch_pad, wrows)
-    blk = blk.reshape(B, KB, 8, 128, wrows)
+    blk = blk.reshape(B, KB, rows, 128, wrows)
     return jnp.transpose(blk, (0, 1, 4, 2, 3))
 
 
 def flatten_records(rec):
-    """(B, KB, SB, SBLK, 8, 128) -> (B, S) in serial slot order.
+    """(B, KB, SB, SBLK, R, 128) -> (B, S) in serial slot order.
 
     Used by tests/CPU twins only: the hot path keeps records in walk layout
-    (this 6-D transpose moves the minor (8, 128) dims mid-array — ~5 ms per
+    (this 6-D transpose moves the minor (R, 128) dims mid-array — ~5 ms per
     record array at 512^2 batch 8 — and the serial scans it fed are computed
     hierarchically in-layout instead, see `_cumsum_walk`)."""
-    B, KB, SB, SB2, _, _ = rec.shape
-    r = jnp.transpose(rec, (0, 1, 4, 5, 2, 3))  # (B, KB, 8, 128, SB, SBLK)
-    return r.reshape(B, KB * CPB * SB * SB2)
+    B, KB, SB, SB2, R, LN = rec.shape
+    r = jnp.transpose(rec, (0, 1, 4, 5, 2, 3))  # (B, KB, R, 128, SB, SBLK)
+    return r.reshape(B, KB * R * LN * SB * SB2)
 
 
 def _cumsum_walk(x):
-    """Serial-order inclusive cumsum of a walk-layout (B, KB, SB, SBLK, 8,
+    """Serial-order inclusive cumsum of a walk-layout (B, KB, SB, SBLK, R,
     128) int32 array WITHOUT the flattening transpose.
 
     Serial slot order is (kb, sub, lane, sb, sblk): steps within a chunk are
     contiguous on axes (2, 3); chunks order as (kb, sub, lane).  So: cumsum
     along the fused step axis per chunk, then an exclusive chunk-order
     cumsum of per-chunk totals (a (B, nch) array — tiny) broadcast back."""
-    B, KB, SB, SBLK, _, _ = x.shape
-    xx = x.reshape(B, KB, SB * SBLK, 8, 128)
+    B, KB, SB, SBLK2, R, LN = x.shape
+    xx = x.reshape(B, KB, SB * SBLK2, R, LN)
     within = jnp.cumsum(xx, axis=2)
-    tot = within[:, :, -1].reshape(B, KB * CPB)  # chunk serial order
+    tot = within[:, :, -1].reshape(B, KB * R * LN)  # chunk serial order
     base = jnp.cumsum(tot, axis=1) - tot
-    return (within + base.reshape(B, KB, 1, 8, 128)).reshape(x.shape)
+    return (within + base.reshape(B, KB, 1, R, LN)).reshape(x.shape)
 
 
 def _cummax_walk(x):
     """Serial-order running max in walk layout (see `_cumsum_walk`)."""
-    B, KB, SB, SBLK, _, _ = x.shape
-    xx = x.reshape(B, KB, SB * SBLK, 8, 128)
+    B, KB, SB, SBLK2, R, LN = x.shape
+    xx = x.reshape(B, KB, SB * SBLK2, R, LN)
     within = jax.lax.cummax(xx, axis=2)
-    tot = within[:, :, -1].reshape(B, KB * CPB)
+    tot = within[:, :, -1].reshape(B, KB * R * LN)
     base = jax.lax.cummax(tot, axis=1)
     base_excl = jnp.concatenate(
         [jnp.full((B, 1), -(2**31), jnp.int32), base[:, :-1]], axis=1
     )
-    return jnp.maximum(within, base_excl.reshape(B, KB, 1, 8, 128)).reshape(x.shape)
+    return jnp.maximum(within, base_excl.reshape(B, KB, 1, R, LN)).reshape(x.shape)
 
 
-def chunk_layout(x_flat, KB):
-    """(B, nch_pad) chunk-indexed -> (B, KB, 8, 128) kernel layout."""
+def chunk_layout(x_flat, KB, rows: int):
+    """(B, nch_pad) chunk-indexed -> (B, KB, R, 128) kernel layout."""
     B = x_flat.shape[0]
-    return x_flat.reshape(B, KB, 8, 128)
+    return x_flat.reshape(B, KB, rows, 128)
 
 
 def chunk_unlayout(x):
-    B, KB = x.shape[:2]
-    return x.reshape(B, KB * CPB)
+    B, KB, R, LN = x.shape
+    return x.reshape(B, KB * R * LN)
 
 
 # ---------------------------------------------------------------------------
@@ -745,31 +900,52 @@ def _payload_bins(sym, i12, i34):
     return bins
 
 
+def _rows_for(chunk_bits: int) -> int:
+    """Default kernel block rows for a chunk size: wide (32, 128) blocks for
+    small chunks (4 vregs per VPU op), narrow for 4096-bit robust chunks
+    (whose 4096-chunk blocks would pad small images 4x)."""
+    return 8 if chunk_bits >= 4096 else 32
+
+
+def _as_cfg(rung, chunk_bits: int = CHUNK_BITS) -> WalkCfg:
+    """Normalize a ladder rung: WalkCfg passes through; a legacy
+    (steps_div, rounds) pair picks up the caller's chunk_bits."""
+    if isinstance(rung, WalkCfg):
+        return rung
+    sd, rd = rung
+    return WalkCfg(chunk_bits, _rows_for(chunk_bits), sd, rd)
+
+
 def _decode_core_v3(
     words, wbits, af, present, ib, pfx, sym_tbl,
-    *, n_pixels: int, width: int, chunk_bits: int, steps: int, maxl: int,
-    segs: int, rounds: int = 3, serial_recon: bool = False,
+    *, n_pixels: int, width: int, chunk_bits: int, steps: int, maxl,
+    segs: int, rounds: int = 3, rows: int | None = None,
+    serial_recon: bool = False,
 ):
     """Full device decode of a batch.
 
     words (B, Wn) uint32-as-int32 payload words (Wn >= nch_pad*chunk_bits/32
-    + WROWS, nch_pad a CPB multiple); wbits (B,) int32; af/present/ib
+    + WROWS, nch_pad a rows*128 multiple); wbits (B,) int32; af/present/ib
     (B, 10, 32) int32; pfx (B, 1, 16) int32; sym_tbl (B, 858) int32.
     Returns (out (B, N, 3) uint8, ok (B,), gates (B, 4) bool) with gates =
     [consistency, crossing, coverage, backref-index] (ok = AND of all;
     per-gate flags let tests pin WHICH defense caught a corruption class,
     VERDICT r3 next #7)."""
     B, Wn = words.shape
+    if rows is None:
+        rows = _rows_for(chunk_bits)
     wpc = chunk_bits // 32
-    nch_pad = (Wn - _wrows(chunk_bits)) // wpc
+    cpb = _cpb(rows)
+    nch_pad = ((Wn - _wrows(chunk_bits)) // wpc // cpb) * cpb
     entries0 = jnp.broadcast_to(
         jnp.arange(nch_pad, dtype=jnp.int32)[None, :] * chunk_bits, (B, nch_pad)
     )
+    aff, dD, inc = derive_walk_tables(af, present, ib)
 
     if _use_pallas_walk():
-        KB = nch_pad // CPB
-        words_blk = make_word_blocks(words, nch_pad, chunk_bits)
-        # records stay in walk layout (B, KB, SB, SBLK, 8, 128): everything
+        KB = nch_pad // cpb
+        words_blk = make_word_blocks(words, nch_pad, chunk_bits, rows)
+        # records stay in walk layout (B, KB, SB, SBLK, R, 128): everything
         # downstream is elementwise except the serial scans, which run
         # in-layout (`_cumsum_walk`) — the four flattening transposes the r3
         # pipeline paid (~20 ms/batch) are gone.
@@ -777,8 +953,8 @@ def _decode_core_v3(
 
         def walk(e):
             pos, sym, i12, i34, exits = walk_pallas(
-                words_blk, chunk_layout(e, KB), af, present, ib, pfx, wbits,
-                chunk_bits=chunk_bits, steps=steps, maxl=maxl,
+                words_blk, chunk_layout(e, KB, rows), aff, dD, inc, pfx, wbits,
+                chunk_bits=chunk_bits, steps=steps, maxl=maxl, rows=rows,
             )
             return pos, sym, i12, i34, chunk_unlayout(exits)
 
@@ -786,14 +962,14 @@ def _decode_core_v3(
         scan_cumsum, scan_cummax = None, None  # flat (B, S) axis-1 scans
 
         def walk(e):
-            def one(wd, ee, a, pr, i, pf, wb):
+            def one(wd, ee, a, d, ic, pf, wb):
                 return walk_ref(
-                    wd, ee, a, pr, i, pf[0], wb,
+                    wd, ee, a, d, ic, pf[0], wb,
                     chunk_bits=chunk_bits, steps=steps, maxl=maxl,
                 )
 
             pos, sym, i12, i34, exits = jax.vmap(one)(
-                words, e, af, present, ib, pfx, wbits
+                words, e, aff, dD, inc, pfx, wbits
             )
             flat = lambda r: r.reshape(B, nch_pad * steps)
             return flat(pos), flat(sym), flat(i12), flat(i34), exits
@@ -864,7 +1040,7 @@ def _decode_core_v3(
     return out.astype(jnp.uint8), jnp.all(gates, axis=1), gates
 
 
-_STATIC_V3 = ("n_pixels", "width", "chunk_bits", "steps", "maxl", "segs", "rounds", "serial_recon")
+_STATIC_V3 = ("n_pixels", "width", "chunk_bits", "steps", "maxl", "segs", "rounds", "rows", "serial_recon")
 _device_decode_v3 = partial(jax.jit, static_argnames=_STATIC_V3)(_decode_core_v3)
 
 
@@ -964,18 +1140,118 @@ def prepare_tables_v3_batch(lengths_batch: np.ndarray):
     )
 
 
-def _words_cap(max_payload_bytes: int, chunk_bits: int) -> tuple[int, int]:
-    """Bucketed (Wn, nch_pad) so nearby payload sizes share an executable.
+def prepare_tables_v3_jnp(lens_b):
+    """Device twin of `prepare_tables_v3_batch`: (B, 858) int32 code lengths
+    (already on device) -> stacked decode tables, entirely inside the XLA
+    program.
 
-    The Pallas kernel walks CPB chunks per invocation, so nch pads to a CPB
-    multiple on TPU; the jnp reference path (CPU tests) pads to 8 only —
-    padding 1024x for tiny test images made CPU runs minutes long."""
-    align = CPB if _use_pallas_walk() else 8
+    Returns (af (B,10,32) int32 bit patterns, present, ib, pfx16 (B,1,16),
+    sym_tbl (B,858), stream_max (B,10), tables_ok (B,) bool).
+
+    tables_ok is the device analogue of `huffman.validate_flat_lengths`:
+    lengths in 1..=31 and an exactly complete Kraft sum per stream (the
+    uint32 contrib cumsum wraps to 0).  Used by the fused round-trip verify
+    (`roundtrip_verify_fused`) so no host-side numpy table build or
+    validation sits between the encoder's device lengths and the decoder —
+    the ~230 ms/batch host prep + 7 per-array upload RTTs measured in r5
+    profiling (VERDICT r4 next #1a)."""
+    lens_all = lens_b.astype(jnp.int32)
+    B = lens_all.shape[0]
+    af = jnp.full((B, C.NUM_STREAMS, 32), -1, jnp.int32)  # 0xFFFFFFFF
+    present = jnp.zeros((B, C.NUM_STREAMS, 32), jnp.int32)
+    ib = jnp.zeros((B, C.NUM_STREAMS, 32), jnp.int32)
+    sym_tbl = jnp.zeros((B, C.TOTAL_SYMBOLS), jnp.int32)
+    pfx16 = jnp.zeros((B, 1, 16), jnp.int32)
+    stream_max = jnp.zeros((B, C.NUM_STREAMS), jnp.int32)
+    lvals = jnp.arange(32, dtype=jnp.int32)
+    ok = jnp.ones(B, jnp.bool_)
+    for s in range(C.NUM_STREAMS):
+        base, size = C.STREAM_BASE[s], C.ALPHABET_SIZES[s]
+        lens = lens_all[:, base : base + size]  # (B, size)
+        lens_c = jnp.clip(lens, 1, C.MAX_CODE_LEN)  # keep shifts defined
+        ok = ok & jnp.all((lens >= 1) & (lens <= C.MAX_CODE_LEN), axis=1)
+        stream_max = stream_max.at[:, s].set(jnp.max(lens_c, axis=1))
+        # canonical order: (length asc, symbol asc) via unique keyed argsort
+        order = jnp.argsort(lens_c * 1024 + jnp.arange(size, dtype=jnp.int32), axis=1)
+        sorted_lens = jnp.take_along_axis(lens_c, order, axis=1)
+        sym_tbl = sym_tbl.at[:, base : base + size].set(order)
+        if s == C.SC_PREFIXES:
+            pfx16 = pfx16.at[:, 0, :size].set(order)
+        # left-aligned first codes: A_i = sum_{j<i} 2^(32 - l_j); int32
+        # wraparound is exact (exclusive sums < 2^32, SURVEY A.2 canonical)
+        contrib = jnp.left_shift(jnp.int32(1), 32 - sorted_lens)
+        A = jnp.cumsum(contrib, axis=1) - contrib  # exclusive
+        # Kraft completeness: inclusive total wraps to exactly 0 mod 2^32
+        ok = ok & (A[:, -1] + contrib[:, -1] == 0)
+        cnt_lt = jnp.sum(
+            sorted_lens[:, None, :] < lvals[None, :, None], axis=2
+        )  # (B, 32)
+        cnt_le = jnp.sum(sorted_lens[:, None, :] <= lvals[None, :, None], axis=2)
+        pres = cnt_le > cnt_lt
+        first_idx = jnp.minimum(cnt_lt, size - 1)
+        A_first = jnp.take_along_axis(A, first_idx, axis=1)
+        present = present.at[:, s].set(pres.astype(jnp.int32))
+        ib = ib.at[:, s].set(jnp.where(pres, cnt_lt, 0))
+        af = af.at[:, s].set(jnp.where(pres, A_first, -1))
+    return af, present, ib, pfx16, sym_tbl, stream_max, ok
+
+
+def run_ladder(call, n: int, *, ladder=LADDER, skip=None, stats=None):
+    """Shared retry-ladder orchestration (VERDICT r4 next #6).
+
+    call(rung) -> (ok (n,) bool-ish, aux tuple of per-image
+    arrays, gates or None).  Tries each ladder config in order; aux arrays
+    are initialized from the first config for every image and overwritten
+    per image by the first config whose gates verified it; `skip`ped images
+    never verify.  Returns (ok (n,) np.bool_, merged aux list).  stats (if
+    given) receives fallbacks / retries / ok / gates-of-last-config."""
+    skip = np.zeros(n, bool) if skip is None else np.asarray(skip, bool)
+    ok_np = np.zeros(n, bool)
+    merged: list | None = None
+    retries = 0
+    gates_last = None
+    for rung in ladder:
+        ok, aux, gates = call(rung)
+        ok_new = np.asarray(ok) & ~skip
+        if gates is not None:
+            gates_last = np.asarray(gates)
+        if merged is None:
+            merged = [np.array(a) for a in aux]
+            ok_np = ok_new
+        else:
+            upd = ok_new & ~ok_np
+            for m, a in zip(merged, aux):
+                m[upd] = np.asarray(a)[upd]
+            ok_np = ok_np | ok_new
+        if (ok_np | skip).all():
+            break
+        retries += 1
+    if stats is not None:
+        stats["fallbacks"] = int((~ok_np).sum())
+        stats["retries"] = retries
+        stats["ok"] = [bool(x) for x in ok_np]
+        if gates_last is not None:
+            stats["gates"] = [[bool(g) for g in row] for row in gates_last]
+    return ok_np, (merged if merged is not None else [])
+
+
+def _wcap_one(max_payload_bytes: int, cfg: WalkCfg) -> int:
+    """Word-array length needed by one walk config.
+
+    The Pallas kernel walks rows*128 chunks per invocation, so nch pads to
+    that multiple on TPU; the jnp reference path (CPU tests) pads to 8 only
+    — padding 4096x for tiny test images made CPU runs minutes long."""
+    align = _cpb(cfg.rows)
     wbits_max = max_payload_bytes * 8
-    nch = -(-wbits_max // chunk_bits)
+    nch = -(-wbits_max // cfg.chunk_bits)
     nch_pad = max(align, -(-nch // align) * align)
-    Wn = nch_pad * (chunk_bits // 32) + _wrows(chunk_bits)
-    return Wn, nch_pad
+    return nch_pad * (cfg.chunk_bits // 32) + _wrows(cfg.chunk_bits)
+
+
+def _words_cap(max_payload_bytes: int, ladder, chunk_bits: int = CHUNK_BITS) -> int:
+    """Wn covering every rung of the ladder (each rung re-derives its
+    nch_pad from Wn inside `_decode_core_v3`)."""
+    return max(_wcap_one(max_payload_bytes, _as_cfg(r, chunk_bits)) for r in ladder)
 
 
 def _segs_for(width: int) -> int:
@@ -987,11 +1263,13 @@ def _segs_for(width: int) -> int:
 def prepare_batch_args(
     datas: list[bytes], *, chunk_bits: int = CHUNK_BITS,
     steps_div: int | None = None, rounds: int | None = None,
+    ladder: tuple = LADDER,
 ):
     """Device arrays + static kwargs for `_decode_core_v3` on a same-shape
-    batch (host-side header parse, table build, word upload).  The kwargs
-    default to the fast ladder config; bench uses this to time the device
-    pipeline with a checksum-only fetch."""
+    batch (host-side header parse, table build, word upload; the word array
+    is sized for every rung of `ladder`).  The kwargs default to the first
+    ladder config; bench uses this to time the device pipeline with a
+    checksum-only fetch."""
     from nicetpu.format import headers, huffman
 
     shapes = {headers.parse_file_header(d)[:2] for d in datas}
@@ -1012,7 +1290,21 @@ def prepare_batch_args(
         payloads.append(d[C.FILE_HEADER_BYTES + C.STREAM_HEADERS_BYTES : len(d) - 4])
     af_b, pr_b, ib_b, pfx_b, sym_b, smax_b = prepare_tables_v3_batch(np.stack(lens))
 
-    Wn, _ = _words_cap(max(len(p) for p in payloads), chunk_bits)
+    if chunk_bits != CHUNK_BITS or steps_div is not None or rounds is not None:
+        base = _as_cfg(ladder[0], chunk_bits)
+        cfg0 = WalkCfg(
+            chunk_bits,
+            _rows_for(chunk_bits),
+            steps_div if steps_div else base.steps_div,
+            rounds if rounds else base.rounds,
+        )
+    else:
+        cfg0 = _as_cfg(ladder[0], chunk_bits)
+
+    max_bytes = max(len(p) for p in payloads)
+    Wn = max(
+        _words_cap(max_bytes, ladder, chunk_bits), _wcap_one(max_bytes, cfg0)
+    )
     words = np.zeros((len(datas), Wn), dtype=np.uint32)
     wbits = np.zeros(len(datas), dtype=np.int32)
     for i, p in enumerate(payloads):
@@ -1030,14 +1322,23 @@ def prepare_batch_args(
         jnp.asarray(pfx_b),
         jnp.asarray(sym_b),
     )
+    cfg0 = _as_cfg(ladder[0], chunk_bits)
+    if steps_div is not None or rounds is not None:
+        cfg0 = cfg0._replace(
+            chunk_bits=chunk_bits,
+            rows=_rows_for(chunk_bits),
+            steps_div=steps_div if steps_div else cfg0.steps_div,
+            rounds=rounds if rounds else cfg0.rounds,
+        )
     kw = dict(
         n_pixels=N,
         width=W,
-        chunk_bits=chunk_bits,
-        steps=_steps(chunk_bits, steps_div if steps_div else LADDER[0][0]),
+        chunk_bits=cfg0.chunk_bits,
+        steps=_steps(cfg0.chunk_bits, cfg0.steps_div),
         maxl=maxl,
         segs=_segs_for(W),
-        rounds=rounds if rounds else LADDER[0][1],
+        rounds=cfg0.rounds,
+        rows=cfg0.rows,
     )
     return args, kw
 
@@ -1073,39 +1374,23 @@ def decode_batch_jax_v3(
     N = W * H
 
     args, base_kw = prepare_batch_args(datas, chunk_bits=chunk_bits)
-    out_np = None
-    ok_np = np.zeros(len(datas), bool)
-    gates_np = None
-    retries = 0
-    for steps_div, rounds in ladder:
+
+    def call(rung):
+        cfg = _as_cfg(rung, chunk_bits)
         out, ok, gates = _device_decode_v3(
             *args,
             **{
                 **base_kw,
-                "steps": _steps(chunk_bits, steps_div),
-                "rounds": rounds,
+                "chunk_bits": cfg.chunk_bits,
+                "steps": _steps(cfg.chunk_bits, cfg.steps_div),
+                "rounds": cfg.rounds,
+                "rows": cfg.rows,
                 "serial_recon": serial_recon,
             },
         )
-        ok_new = np.asarray(ok)
-        out_new = np.asarray(out)
-        gates_np = np.asarray(gates)
-        if out_np is None:
-            out_np, ok_np = out_new, ok_new
-        else:
-            if not out_np.flags.writeable:
-                out_np = out_np.copy()
-            upd = ok_new & ~ok_np
-            out_np[upd] = out_new[upd]
-            ok_np = ok_np | ok_new
-        if ok_np.all():
-            break
-        retries += 1
-    if stats is not None:
-        stats["fallbacks"] = int((~ok_np).sum())
-        stats["retries"] = retries
-        stats["ok"] = [bool(x) for x in ok_np]
-        stats["gates"] = [[bool(g) for g in row] for row in gates_np]
+        return ok, (out,), gates
+
+    ok_np, (out_np,) = run_ladder(call, len(datas), ladder=ladder, stats=stats)
     result = []
     for i, d in enumerate(datas):
         if bool(ok_np[i]):
@@ -1170,39 +1455,39 @@ def decode_batch_verify_device(
     """
     if not datas:
         return np.zeros(0, bool)
-    args, base_kw = prepare_batch_args(datas)
-    ok_np = np.zeros(len(datas), bool)
-    eq_np = np.zeros(len(datas), bool)
-    retries = 0
-    for steps_div, rounds in ladder:
+    args, base_kw = prepare_batch_args(datas, ladder=ladder)
+
+    def call(rung):
+        cfg = _as_cfg(rung)
         ok, eq = _device_decode_verify(
             *args,
             orig_dev,
             **{
                 **base_kw,
-                "steps": _steps(base_kw["chunk_bits"], steps_div),
-                "rounds": rounds,
+                "chunk_bits": cfg.chunk_bits,
+                "steps": _steps(cfg.chunk_bits, cfg.steps_div),
+                "rounds": cfg.rounds,
+                "rows": cfg.rows,
             },
         )
-        ok_new = np.asarray(ok)
-        eq_new = np.asarray(eq)
-        upd = ok_new & ~ok_np
-        eq_np[upd] = eq_new[upd]
-        ok_np |= ok_new
-        if ok_np.all():
-            break
-        retries += 1
-    if (ok_np & ~eq_np).any():
-        bad = int(np.argmax(ok_np & ~eq_np))
-        raise RuntimeError(
-            f"device decode gate-consistent but NOT equal to original "
-            f"(image {bad}): kernel defect, refusing silent fallback"
-        )
-    if stats is not None:
-        stats["fallbacks"] = int((~ok_np).sum())
-        stats["retries"] = retries
-        stats["ok"] = [bool(x) for x in ok_np]
+        return ok, (eq,), None
+
+    ok_np, (eq_np,) = run_ladder(call, len(datas), ladder=ladder, stats=stats)
+    _raise_if_consistent_but_wrong(ok_np, eq_np)
     return ok_np
+
+
+def _raise_if_consistent_but_wrong(ok_np, eq_np) -> None:
+    """A gate-consistent decode that differs from the encoder input is a
+    kernel defect and must surface loudly, never as a silent fallback
+    (VERDICT r3 next #5)."""
+    bad = np.asarray(ok_np, bool) & ~np.asarray(eq_np, bool)
+    if bad.any():
+        raise RuntimeError(
+            f"device decode gate-consistent but NOT equal to the original "
+            f"(image {int(np.argmax(bad))}): kernel defect, refusing silent "
+            f"fallback"
+        )
 
 
 def verify_words_device(
@@ -1253,7 +1538,7 @@ def verify_words_device(
     maxl = pick_maxl_streams(smax_b.max(axis=0))
 
     tot = np.where(skip, int(totals[donor]), np.asarray(totals)).astype(np.int64)
-    Wn, _ = _words_cap(int(tot.max() + 7) // 8, CHUNK_BITS)
+    Wn = _words_cap(int(tot.max() + 7) // 8, ladder)
     wi = jax.lax.bitcast_convert_type(words_dev, jnp.int32)
     w_cap = int(wi.shape[1])
     if w_cap >= Wn:
@@ -1272,37 +1557,142 @@ def verify_words_device(
     base_kw = dict(
         n_pixels=n_pixels,
         width=width,
-        chunk_bits=CHUNK_BITS,
         maxl=maxl,
         segs=_segs_for(width),
     )
-    ok_np = np.zeros(B, bool)
-    eq_np = np.zeros(B, bool)
-    retries = 0
-    for steps_div, rounds in ladder:
+
+    def call(rung):
+        cfg = _as_cfg(rung)
         ok, eq = _device_decode_verify(
             *args,
             orig_dev,
             **base_kw,
-            steps=_steps(CHUNK_BITS, steps_div),
-            rounds=rounds,
+            chunk_bits=cfg.chunk_bits,
+            steps=_steps(cfg.chunk_bits, cfg.steps_div),
+            rounds=cfg.rounds,
+            rows=cfg.rows,
         )
-        ok_new = np.asarray(ok) & ~skip
-        eq_new = np.asarray(eq)
-        upd = ok_new & ~ok_np
-        eq_np[upd] = eq_new[upd]
-        ok_np |= ok_new
-        if (ok_np | skip).all():
-            break
-        retries += 1
-    if (ok_np & ~eq_np).any():
-        bad = int(np.argmax(ok_np & ~eq_np))
-        raise RuntimeError(
-            f"device-resident decode gate-consistent but NOT equal to the "
-            f"original (image {bad}): kernel defect, refusing silent fallback"
-        )
-    if stats is not None:
-        stats["fallbacks"] = int((~ok_np).sum())
-        stats["retries"] = retries
-        stats["ok"] = [bool(x) for x in ok_np]
+        return ok, (eq,), None
+
+    ok_np, (eq_np,) = run_ladder(call, B, ladder=ladder, skip=skip, stats=stats)
+    _raise_if_consistent_but_wrong(ok_np, eq_np)
     return ok_np
+
+
+# ---------------------------------------------------------------------------
+# Fused round-trip: encode + device tables + decode + verify, ONE dispatch
+# ---------------------------------------------------------------------------
+
+# Optimistic payload cap for the fused round-trip (bits/pixel).  The decode
+# walk geometry is static, sized by w_cap — a tighter cap halves the walk
+# record volume vs the encoder's 28 bpp safety cap.  Images exceeding it set
+# cap_ovf and take the ladder/native fallback like any other overflow.
+ROUNDTRIP_CAP_BPP = 16
+
+# Static per-stream BASE maxl for the fused dispatch: since the deep-code
+# escape (`_canon_ext`) makes any static bound exact, one uniform tuple
+# gives ONE executable for all content (small alphabets are clipped by
+# `_stream_maxl`; the r4-era per-batch tuple variants — up to 6^10 compile
+# keys, ADVICE r4 low #3 — are gone from this path).
+FUSED_MAXL = (MAXL_BASE,) * C.NUM_STREAMS
+
+
+def _roundtrip_verify_core(
+    flat, *, width: int, ndigits_cap: int, w_cap: int,
+    cfg: WalkCfg, maxl, segs: int,
+):
+    """Encode (B, N, 3) uint8 resident images, build decode tables from the
+    encoder's device lengths, decode from the device-resident packed words,
+    and prove bit-exact equality with the input — all in ONE XLA program.
+
+    Returns (words (B, w_cap) uint32, small2 (B, 862) int32) with small2 =
+    [lengths(858), total_bits, ovf, verified_ok, eq].  The only host
+    traffic for a verified round trip is the small2 fetch (VERDICT r4 next
+    #1: the two-phase path paid a ~230 ms host table build + 7 upload RTTs
+    per batch inside the timed loop)."""
+    from nicetpu.kernels.encode2 import encode_fused_core
+
+    B, N, _ = flat.shape
+    words, lengths, totals, ovf = encode_fused_core(
+        flat, width=width, ndigits_cap=ndigits_cap, w_cap=w_cap
+    )
+    af, pr, ib, pfx, sym_tbl, smax, tables_ok = prepare_tables_v3_jnp(lengths)
+
+    Wn = _wcap_one((32 * (w_cap - 2)) // 8, cfg)
+    wi = jax.lax.bitcast_convert_type(words, jnp.int32)
+    wi = wi[:, :Wn] if w_cap >= Wn else jnp.pad(wi, ((0, 0), (0, Wn - w_cap)))
+    out, ok, _gates = _decode_core_v3(
+        wi, totals, af, pr, ib, pfx, sym_tbl,
+        n_pixels=N, width=width, chunk_bits=cfg.chunk_bits,
+        steps=_steps(cfg.chunk_bits, cfg.steps_div),
+        maxl=maxl, segs=segs, rounds=cfg.rounds, rows=cfg.rows,
+    )
+    eq = jnp.all(out == jnp.swapaxes(flat, 1, 2), axis=(1, 2))
+    okf = ok & tables_ok & ~ovf
+    small2 = jnp.concatenate(
+        [
+            lengths,
+            totals[:, None],
+            ovf.astype(jnp.int32)[:, None],
+            okf.astype(jnp.int32)[:, None],
+            eq.astype(jnp.int32)[:, None],
+        ],
+        axis=1,
+    )
+    return words, small2
+
+
+_STATIC_RT = ("width", "ndigits_cap", "w_cap", "cfg", "maxl", "segs")
+_roundtrip_fused_jit = partial(jax.jit, static_argnames=_STATIC_RT)(
+    _roundtrip_verify_core
+)
+
+
+def roundtrip_cap_words(n_pixels: int) -> int:
+    return n_pixels * ROUNDTRIP_CAP_BPP // 32 + 1024
+
+
+def roundtrip_verify_fused(
+    flat_dev, *, width: int, w_cap: int | None = None,
+    ladder: tuple = LADDER, stats: dict | None = None, fetch=np.asarray,
+):
+    """Device round trip with one dispatch + one small fetch per batch.
+
+    flat_dev: (B, N, 3) uint8 resident batch.  Runs the fused
+    encode+table+decode+verify program (fast ladder config, static
+    `FUSED_MAXL` — exact for any code depth via the deep-code escape);
+    images it cannot verify (payload over the optimistic cap, self-sync
+    miss, step-budget truncation) retry through the robust
+    `verify_words_device` ladder rungs, then fall back to the caller's
+    host path.  Returns (words_dev (B, w_cap) uint32, small
+    (B, 860) int32 np.ndarray — the `encode_fused` layout — and verified
+    (B,) bool).  Same loud-failure contract as `verify_words_device`."""
+    B, N, _ = (int(x) for x in flat_dev.shape)
+    if w_cap is None:
+        w_cap = roundtrip_cap_words(N)
+    words, small2_d = _roundtrip_fused_jit(
+        flat_dev, width=width, ndigits_cap=3, w_cap=w_cap,
+        cfg=_as_cfg(ladder[0]), maxl=FUSED_MAXL, segs=_segs_for(width),
+    )
+    small2 = fetch(small2_d)
+    small = small2[:, :860]
+    okf = small2[:, 860].astype(bool)
+    eq = small2[:, 861].astype(bool)
+    _raise_if_consistent_but_wrong(okf, eq)
+    verified = okf & eq
+    ovf = small[:, 859].astype(bool)
+    retry = ~verified & ~ovf
+    if stats is not None:
+        stats["retries"] = int(retry.sum())
+    if retry.any() and len(ladder) > 1:
+        sub: dict = {}
+        v2 = verify_words_device(
+            words, small[:, 858], small[:, :858], flat_dev,
+            skip=~retry, n_pixels=N, width=width, ladder=ladder[1:],
+            stats=sub,
+        )
+        verified = verified | v2
+    if stats is not None:
+        stats["fallbacks"] = int((~verified).sum())
+        stats["ok"] = [bool(x) for x in verified]
+    return words, small, verified

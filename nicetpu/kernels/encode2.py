@@ -390,22 +390,13 @@ def encode_batch(imgs: np.ndarray) -> list[bytes]:
     return out
 
 
-@partial(jax.jit, static_argnames=("width", "ndigits_cap", "w_cap"))
-def encode_fused(imgs_flat, *, width: int, ndigits_cap: int, w_cap: int):
-    """Whole encode as ONE device dispatch: tokenize + histogram + on-device
-    Huffman tables (kernels/huffman_dev.py) + join + fold + place.
+def encode_fused_core(imgs_flat, *, width: int, ndigits_cap: int, w_cap: int):
+    """Traceable body of `encode_fused`: tokenize + histogram + on-device
+    Huffman tables + join + fold + place, no jit wrapper — composable into
+    larger fused dispatches (decode3's single-dispatch round-trip verify).
 
-    No host round-trip between histogram and packing — on the tunnel-attached
-    TPU each host sync costs ~24 ms, which dominated single-image latency in
-    the two-dispatch pipeline.
-
-    imgs_flat: (B, N, 3) uint8.  Returns (words (B, w_cap) uint32,
-    small (B, 860) int32) where small = per-image [flat code lengths (858),
-    total payload bits, overflow flag].  When the overflow flag is set (run
-    needs > ndigits_cap digits, a group packs > 32*GROUP_CAPW bits, or a
-    Huffman length exceeds 31 bits) the caller must fall back to an exact
-    host path; the fused outputs for that image are not usable.
-    """
+    Returns (words (B, w_cap) uint32, lengths (B, 858) int32,
+    totals (B,) int32, ovf (B,) bool)."""
     from nicetpu.kernels.huffman_dev import build_tables_device
 
     core = partial(_tokenize_core, width=width, ndigits_cap=ndigits_cap)
@@ -453,6 +444,28 @@ def encode_fused(imgs_flat, *, width: int, ndigits_cap: int, w_cap: int):
 
     cap_ovf = totals > jnp.int32(32 * (w_cap - 2))
     ovf = run_ovf | len_ovf | fold_ovf | cap_ovf
+    return words, lengths, totals, ovf
+
+
+@partial(jax.jit, static_argnames=("width", "ndigits_cap", "w_cap"))
+def encode_fused(imgs_flat, *, width: int, ndigits_cap: int, w_cap: int):
+    """Whole encode as ONE device dispatch: tokenize + histogram + on-device
+    Huffman tables (kernels/huffman_dev.py) + join + fold + place.
+
+    No host round-trip between histogram and packing — on the tunnel-attached
+    TPU each host sync costs ~24 ms, which dominated single-image latency in
+    the two-dispatch pipeline.
+
+    imgs_flat: (B, N, 3) uint8.  Returns (words (B, w_cap) uint32,
+    small (B, 860) int32) where small = per-image [flat code lengths (858),
+    total payload bits, overflow flag].  When the overflow flag is set (run
+    needs > ndigits_cap digits, a group packs > 32*GROUP_CAPW bits, or a
+    Huffman length exceeds 31 bits) the caller must fall back to an exact
+    host path; the fused outputs for that image are not usable.
+    """
+    words, lengths, totals, ovf = encode_fused_core(
+        imgs_flat, width=width, ndigits_cap=ndigits_cap, w_cap=w_cap
+    )
     small = jnp.concatenate(
         [lengths, totals[:, None], ovf.astype(jnp.int32)[:, None]], axis=1
     )

@@ -46,12 +46,12 @@ except Exception:  # pragma: no cover
 
 LANE = 128  # positions per segment (the TPU lane count)
 
-# Mosaic stack budget: the unrolled build keeps ~25 (B, S, 256) int32
-# temporaries live; measured 33.69 MiB at B*S = 32 => ~1.05 MiB per
-# image-segment.  Keep B*S under this bound per kernel invocation and
-# chunk larger batches (max_batch_for_width); wider rasters than
-# S = MAX_BS segments fall back to the XLA reconstruction.
-MAX_BS = 88
+# Mosaic stack budget: the channel-fused build keeps ~8 live (3B*S, 256)
+# int32 temporaries (r1..r3 rotate without copies); keep B*S under this
+# bound per kernel invocation and chunk larger batches
+# (max_batch_for_width); wider rasters than S = MAX_BS segments fall back
+# to the XLA reconstruction.
+MAX_BS = 128
 
 
 def max_batch_for_width(width: int) -> int:
@@ -73,133 +73,139 @@ def _recon_kernel(
     W: int,
     offs: tuple,
 ):
+    """One raster row for the whole batch.
+
+    r5 layout: every build/resolve/replay tensor is 2-D (M, x) with
+    M = 3*B*S rows indexed ((b*3 + c)*S + s) — channels FUSED into the
+    sublane dimension so each `_apply_form` is one full-tile op instead of
+    three (B, S, 256) ops on half-empty sublane tiles (the r4 kernel
+    measured 47 ms of the 106 ms batch decode; ~92 us/row against ~30 us
+    of VPU element work).  All cross-shape moves are broadcast+leading-dim
+    reshapes (free) — no jnp.stack of small pieces (Mosaic lowering
+    rejects those at small B)."""
     h = pl.program_id(0)
     S = W // LANE
     L = LANE
     B = f_ref.shape[1]
+    M = 3 * B * S
 
     @pl.when(h == 0)
     def _():
         prev4_scr[:] = jnp.zeros_like(prev4_scr)
 
-    f_row = f_ref[0]  # (B, W)
-    d_row = d_ref[0].reshape(B, 3, W)
-    ro_row = ro_ref[0]  # (B, W)
-    prev4 = prev4_scr[:].reshape(B, 3, 4 * W)
-    prev4p = jnp.concatenate([prev4, jnp.zeros((B, 3, 3), jnp.int32)], axis=2)
-    ab_row = prev4[:, :, 3 * W :]  # (B, 3, W)
-    cv_row = jnp.zeros((B, 3, W), jnp.int32)
-    for o in offs:
-        cv_row = jnp.where(
-            (ro_row == o)[:, None, :], prev4p[:, :, 4 * W - o : 5 * W - o], cv_row
-        )
+    def rep_c(x):  # (B, k) -> (3B, k), channel-broadcast
+        k = x.shape[1]
+        return jnp.broadcast_to(x[:, None, :], (B, 3, k)).reshape(3 * B, k)
 
-    # lane-aligned segment views: tile-boundary splits only
-    f_sl = f_row.reshape(B, S, L)
-    d_sl = d_row.reshape(B, 3, S, L)
-    cv_sl = cv_row.reshape(B, 3, S, L)
-    ab_sl = ab_row.reshape(B, 3, S, L)
+    f_row = f_ref[0]  # (B, W)
+    d_row = d_ref[0]  # (3B, W)
+    ro_row = ro_ref[0]  # (B, W)
+    prev4 = prev4_scr[:]  # (3B, 4W)
+    prev4p = jnp.concatenate([prev4, jnp.zeros((3 * B, 3), jnp.int32)], axis=1)
+    ab_row = prev4[:, 3 * W :]  # (3B, W)
+    ro3 = rep_c(ro_row)  # (3B, W)
+    f3 = rep_c(f_row)  # (3B, W)
+    cv_row = jnp.zeros((3 * B, W), jnp.int32)
+    for o in offs:
+        cv_row = jnp.where(ro3 == o, prev4p[:, 4 * W - o : 5 * W - o], cv_row)
+
+    # flat (M, L) views: leading-dim reshapes only
+    f_f = f3.reshape(M, L)
+    d_f = d_row.reshape(M, L)
+    cv_f = cv_row.reshape(M, L)
+    ab_f = ab_row.reshape(M, L)
+    f_seg = f_row.reshape(B, S, L)  # tag updates live on (B, S)
 
     # ---- build: push all 256 candidate boundary values through each segment
-    cand = jax.lax.broadcasted_iota(jnp.int32, (B, S, 256), 2)
-    r1 = [cand, cand, cand]  # per channel, function of the lag tagged t1
-    r2 = [cand, cand, cand]
-    r3 = [cand, cand, cand]
+    cand = jax.lax.broadcasted_iota(jnp.int32, (M, 256), 1)
+    r1, r2, r3 = cand, cand, cand  # LUT of the lag tagged t1/t2/t3
     t1 = jnp.zeros((B, S), jnp.int32)
     t2 = jnp.ones((B, S), jnp.int32)
     t3 = jnp.full((B, S), 2, jnp.int32)
     for l in range(L):
-        f_l = f_sl[:, :, l]  # (B, S)
-        new = [
-            _apply_form(
-                f_l[:, :, None],
-                d_sl[:, c, :, l][:, :, None],
-                cv_sl[:, c, :, l][:, :, None],
-                ab_sl[:, c, :, l][:, :, None],
-                r1[c],
-                r2[c],
-                r3[c],
-            )
-            for c in range(3)
-        ]
+        new = _apply_form(
+            f_f[:, l : l + 1], d_f[:, l : l + 1], cv_f[:, l : l + 1],
+            ab_f[:, l : l + 1], r1, r2, r3,
+        )  # (M, 256)
+        f_l = f_seg[:, :, l]
         nt = jnp.where(f_l == F_ADD2, t2, jnp.where(f_l == F_ADD3, t3, t1))
         r1, r2, r3 = new, r1, r2
         t1, t2, t3 = nt, t1, t2
 
     # ---- resolve: serial one-hot evaluation across the S segments.
-    # All (B, 3)/(B, 3, S) values are built with predicated one-hot writes —
-    # jnp.stack of (B,) pieces fails Mosaic lowering at small B ("offset
-    # mismatch on non-concat dimension").
-    iota256 = jax.lax.broadcasted_iota(jnp.int32, (B, 256), 1)
-    iota3 = jax.lax.broadcasted_iota(jnp.int32, (B, 3), 1)
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (B, 3, S), 2)
-    # trip[k]: (B, 3) boundary values at lag k+1 (cols = channels)
-    trip = [prev4[:, :, 4 * W - 1 - k] for k in range(3)]
-    V = [jnp.zeros((B, 3, S), jnp.int32) for _ in range(3)]
+    # Per-segment values live as (3B, S) / (3B, 256) tensors — sublane-dim
+    # regrouping reshapes of the (M, x) build tensors are leading-dim only
+    # (a lane->sublane reshape like (3B, 1, S) -> (M, 1) is an unsupported
+    # Mosaic shape cast).
+    iota256 = jax.lax.broadcasted_iota(jnp.int32, (3 * B, 256), 1)
+    iota_S = jax.lax.broadcasted_iota(jnp.int32, (3 * B, S), 1)
+    # trip[k]: (3B, 1) boundary value at lag k+1 entering the next segment
+    trip = [prev4[:, 4 * W - 1 - k : 4 * W - k] for k in range(3)]
+    V = [jnp.zeros((3 * B, S), jnp.int32) for _ in range(3)]
+    rs = [r.reshape(3 * B, S, 256) for r in (r1, r2, r3)]
+    ts = (t1, t2, t3)
     for s in range(S):
-        for k in range(3):
-            V[k] = jnp.where(iota_s == s, trip[k][:, :, None], V[k])
-        rs = (r1, r2, r3)
-        ts = (t1, t2, t3)
         new_trip = []
         for k in range(3):
-            tag = ts[k][:, s]  # (B,)
-            newk = jnp.zeros((B, 3), jnp.int32)
-            for c in range(3):
-                tv = jnp.where(
-                    tag == 0,
-                    trip[0][:, c],
-                    jnp.where(tag == 1, trip[1][:, c], trip[2][:, c]),
-                )
-                lut = rs[k][c][:, s, :]  # (B, 256)
-                oh = iota256 == tv[:, None]
-                val = jnp.sum(jnp.where(oh, lut, 0), axis=1)
-                newk = jnp.where(iota3 == c, val[:, None], newk)
-            new_trip.append(newk)
+            V[k] = jnp.where(iota_S == s, trip[k], V[k])
+            tag = rep_c(ts[k][:, s : s + 1])  # (3B, 1)
+            tv = jnp.where(
+                tag == 0, trip[0], jnp.where(tag == 1, trip[1], trip[2])
+            )  # (3B, 1)
+            oh = iota256 == tv  # (3B, 256)
+            val = jnp.sum(
+                jnp.where(oh, rs[k][:, s, :], 0), axis=1, keepdims=True
+            )  # (3B, 1)
+            new_trip.append(val)
         trip = new_trip
 
-    # ---- replay with true inputs
-    v1, v2, v3 = V
-    row_sl = jnp.zeros((B, 3, S, L), jnp.int32)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (B, 3, S, L), 3)
+    # ---- replay with true inputs (all (3B, S)-shaped per-lane steps)
+    f_s3 = f3.reshape(3 * B, S, L)
+    d_s3 = d_row.reshape(3 * B, S, L)
+    cv_s3 = cv_row.reshape(3 * B, S, L)
+    ab_s3 = ab_row.reshape(3 * B, S, L)
+    v1, v2, v3 = V  # (3B, S)
+    row_sl = jnp.zeros((3 * B, S, L), jnp.int32)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (3 * B, S, L), 2)
     for l in range(L):
-        f_l = f_sl[:, :, l][:, None, :]  # (B, 1, S)
         new = _apply_form(
-            f_l, d_sl[:, :, :, l], cv_sl[:, :, :, l], ab_sl[:, :, :, l], v1, v2, v3
-        )  # (B, 3, S)
+            f_s3[:, :, l], d_s3[:, :, l], cv_s3[:, :, l], ab_s3[:, :, l],
+            v1, v2, v3,
+        )  # (3B, S)
         # lane-l one-hot blend (dynamic_update_slice is unimplemented in
         # the Mosaic TC lowering)
-        row_sl = jnp.where(lane_iota == l, new[:, :, :, None], row_sl)
+        row_sl = jnp.where(lane_iota == l, new[:, :, None], row_sl)
         v1, v2, v3 = new, v1, v2
-    row = row_sl.reshape(B, 3, W)
+    row = row_sl.reshape(3 * B, W)
 
     # ---- fixup: w-1/w-3 wrap refs from the last 3 columns (SURVEY A.8.2)
     for x in (W - 3, W - 2, W - 1):
-        cv = jnp.zeros((B, 3), jnp.int32)
+        cv = jnp.zeros((3 * B, 1), jnp.int32)
+        rox = rep_c(ro_row[:, x : x + 1])
         for o in offs:
             src = (
-                row[:, :, x - o]
+                row[:, x - o : x - o + 1]
                 if x - o >= 0
-                else prev4[:, :, 4 * W + x - o]
+                else prev4[:, 4 * W + x - o : 4 * W + x - o + 1]
             )
-            cv = jnp.where((ro_row[:, x] == o)[:, None], src, cv)
+            cv = jnp.where(rox == o, src, cv)
         lag = [
-            row[:, :, x - k] if x - k >= 0 else prev4[:, :, 4 * W + x - k]
+            row[:, x - k : x - k + 1]
+            if x - k >= 0
+            else prev4[:, 4 * W + x - k : 4 * W + x - k + 1]
             for k in (1, 2, 3)
         ]
         val = _apply_form(
-            f_row[:, x][:, None], d_row[:, :, x], cv, ab_row[:, :, x],
-            lag[0], lag[1], lag[2],
-        )  # (B, 3)
-        pieces = [row[:, :, :x], val[:, :, None]]
+            rep_c(f_row[:, x : x + 1]), d_row[:, x : x + 1], cv,
+            ab_row[:, x : x + 1], lag[0], lag[1], lag[2],
+        )  # (3B, 1)
+        pieces = [row[:, :x], val]
         if x + 1 < W:  # Mosaic rejects zero-size vector slices
-            pieces.append(row[:, :, x + 1 :])
-        row = jnp.concatenate(pieces, axis=2)
+            pieces.append(row[:, x + 1 :])
+        row = jnp.concatenate(pieces, axis=1)
 
-    out_ref[0] = row.reshape(3 * B, W)
-    prev4_scr[:] = jnp.concatenate([prev4[:, :, W:], row], axis=2).reshape(
-        3 * B, 4 * W
-    )
+    out_ref[0] = row
+    prev4_scr[:] = jnp.concatenate([prev4[:, W:], row], axis=1)
 
 
 @partial(jax.jit, static_argnames=("n_pixels", "width", "interpret"))

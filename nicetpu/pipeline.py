@@ -151,6 +151,18 @@ def _encode_batch_core(flat, shape, imgs=None, return_device: bool = False):
 
     words_d, small_d = encode_fused(flat, width=W, ndigits_cap=3, w_cap=w_cap)
     small = np.asarray(small_d)  # (B, 860): [lengths(858), total_bits, ovf]
+    out = _assemble_payloads(words_d, small, shape, flat=flat, imgs=imgs)
+    if return_device:
+        return out, words_d, small
+    return out
+
+
+def _assemble_payloads(words_d, small, shape, flat=None, imgs=None) -> list[bytes]:
+    """.nice byte strings from the fused encoder's device words + fetched
+    small array; per-image native fallback on overflow (counted)."""
+    B = small.shape[0]
+    H, W, _ = shape
+    w_cap = int(words_d.shape[1])
     totals = small[:, 858]
     ovf = small[:, 859].astype(bool)
 
@@ -185,9 +197,48 @@ def _encode_batch_core(flat, shape, imgs=None, return_device: bool = False):
             + headers.pack_stream_headers(lengths)
             + words_to_payload(words[b], int(totals[b]))
         )
-    if return_device:
-        return out, words_d, small
     return out
+
+
+def roundtrip_batch_resident(flat_dev, shape, imgs=None, _retries: int = 2):
+    """Full production round trip of a resident (B, N, 3) uint8 batch in ONE
+    fused dispatch (decode3.roundtrip_verify_fused): encode, on-device
+    decode-table build, decode from the device-resident words, on-device
+    bit-exact verification — one small2 fetch plus the payload fetch cross
+    the tunnel.  Returns (datas, verified (B,) bool).
+
+    Images the device could not verify (overflow past the optimistic
+    ROUNDTRIP_CAP_BPP cap, deep tables, self-sync residue after the exact
+    ladder) report verified=False and are counted in `pop_stats`; the
+    caller decodes those on the host.  Transient tunnel errors retry, then
+    the whole batch falls back to the native encoder (verified all-False)."""
+    from nicetpu.kernels import decode3
+
+    B = int(flat_dev.shape[0])
+    H, W, _ = shape
+    if W < C.MIN_WIDTH:
+        raise ValueError(f"width must be >= {C.MIN_WIDTH} (SURVEY A.8.7)")
+    try:
+        dstats: dict = {}
+        words_d, small, verified = decode3.roundtrip_verify_fused(
+            flat_dev, width=W, stats=dstats
+        )
+        datas = _assemble_payloads(words_d, small, shape, flat=flat_dev, imgs=imgs)
+        ovf = small[:, 859].astype(bool)
+        unverified = int((~verified & ~ovf).sum())
+        if unverified:
+            _count("tpu_fallbacks", unverified)
+        return datas, verified
+    except _transient_errors():
+        if _retries > 0:
+            _count("tpu_retries")
+            return roundtrip_batch_resident(flat_dev, shape, imgs, _retries - 1)
+        if imgs is None:
+            raise
+        _count("tpu_fallbacks", B)
+        from nicetpu.hostref import oracle
+
+        return [oracle.encode_native(im) for im in imgs], np.zeros(B, bool)
 
 
 def roundtrip_hybrid(
@@ -254,37 +305,16 @@ def roundtrip_hybrid(
         host_imgs, dev = batches[i]
         if dev is None:
             return False
-        H, W, _ = host_imgs[0].shape
-        datas, words_d, small = encode_batch_resident(
-            dev, host_imgs[0].shape, host_imgs, return_device=True
+        # ONE fused dispatch: encode + on-device decode-table build + decode
+        # from the device-resident packed words + on-device bit-exact
+        # verification against the resident original — only the small2 flags
+        # and the payload cross the tunnel.  Images whose gates fail (or
+        # whose fused encode overflowed) decode on the host; a
+        # gate-consistent mismatch RAISES (kernel defect — never silently
+        # rerouted, VERDICT r3 next #5).
+        datas, verified = roundtrip_batch_resident(
+            dev, host_imgs[0].shape, host_imgs
         )
-        # TPU-native decode leg (decode3 v3 walk) straight from the
-        # DEVICE-RESIDENT packed words, with on-device bit-exact
-        # verification against the resident original — only ok/eq flags
-        # cross the tunnel.  Images whose gates fail (or whose fused encode
-        # overflowed) decode on the host; a gate-consistent mismatch RAISES
-        # (kernel defect — never silently rerouted, VERDICT r3 next #5).
-        from nicetpu.kernels import decode3
-
-        verified = np.zeros(len(host_imgs), bool)
-        if words_d is not None:
-            dstats: dict = {}
-            try:
-                verified = decode3.verify_words_device(
-                    words_d,
-                    small[:, 858],
-                    small[:, :858],
-                    dev,
-                    skip=small[:, 859].astype(bool),
-                    n_pixels=H * W,
-                    width=W,
-                    stats=dstats,
-                )
-            except _transient_errors():
-                _count("tpu_fallbacks", len(host_imgs))
-            else:
-                if dstats.get("fallbacks"):
-                    _count("tpu_fallbacks", dstats["fallbacks"])
         out = []
         for b, d in enumerate(datas):
             if verified[b]:

@@ -7,6 +7,7 @@ JAX_PLATFORMS=cpu so each process exposes 4 virtual CPU devices (8 global).
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -45,8 +46,12 @@ def main() -> int:
     data = encode_multihost(img)
     if pid == 0:
         assert data is not None
-        with open(out_file, "wb") as f:
+        # atomic publish: write to a temp path, then rename — a reader can
+        # never observe a partially written blob (ADVICE r4 low #4)
+        tmp = out_file + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(data)
+        os.replace(tmp, out_file)
     else:
         assert data is None
 
@@ -55,14 +60,14 @@ def main() -> int:
     # loader's side channel)
     import time
 
+    blob = None
     for _ in range(100):
         try:
             blob = open(out_file, "rb").read()
-            if blob:
-                break
+            break
         except FileNotFoundError:
-            pass
-        time.sleep(0.1)
+            time.sleep(0.1)
+    assert blob, f"proc {pid}: encoded blob never appeared at {out_file}"
     out = decode_multihost(blob)
     if pid == 0:
         assert out is not None

@@ -22,7 +22,9 @@ def test_injected_bug_propagates(monkeypatch):
     monkeypatch.setattr(pipeline, "_encode_batch_core", boom)
     with pytest.raises(AssertionError, match="injected kernel bug"):
         pipeline.encode_batch_fused([_img()])
-    # and through the hybrid scheduler, too
+    # and through the hybrid scheduler, too (its TPU leg is the fused
+    # round-trip dispatch)
+    monkeypatch.setattr(pipeline, "roundtrip_batch_resident", boom)
     with pytest.raises(AssertionError, match="injected kernel bug"):
         pipeline.roundtrip_hybrid(
             [([_img()], object())], tpu_threads=1, cpu_threads=0

@@ -117,6 +117,52 @@ def test_fold_records_interpret_parity():
     )
 
 
+def test_walk_layout_scans_match_flat():
+    """_cumsum_walk/_cummax_walk == flat serial-order scans (ADVICE r4
+    medium #2: the CPU path uses flat axis-1 scans, so only this test
+    executes the in-layout hierarchical scans off-chip)."""
+    rng = np.random.default_rng(8)
+    for shape in [(2, 1, 2, 3, 8, 128), (1, 2, 2, 2, 32, 128)]:
+        x = jnp.asarray(rng.integers(-5, 10, shape).astype(np.int32))
+        flat = d3.flatten_records(x)
+        np.testing.assert_array_equal(
+            np.asarray(d3.flatten_records(d3._cumsum_walk(x))),
+            np.asarray(jnp.cumsum(flat, axis=1)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(d3.flatten_records(d3._cummax_walk(x))),
+            np.asarray(jax.lax.cummax(flat, axis=1)),
+        )
+
+
+@pytest.mark.slow
+def test_recon_rows_interpret_parity():
+    """The Pallas segment-LUT row reconstruction vs its jnp twin, exact
+    (ADVICE r4 medium #1: this is the default TPU reconstruction path and
+    runs AFTER the consistency gates — a defect here would be silent wrong
+    pixels for pure-decode callers)."""
+    from nicetpu.kernels import decode_dev, recon_pallas
+
+    rng = np.random.default_rng(9)
+    B, H, W = 2, 12, 256
+    N = H * W
+    offs = decode_dev._const_offsets(W)
+    form = rng.integers(0, 5, (B, N)).astype(np.int32)
+    delta = rng.integers(0, 256, (B, 3, N)).astype(np.int32)
+    refoff = np.asarray([0] + offs, np.int32)[
+        rng.integers(0, len(offs) + 1, (B, N))
+    ]
+    segs = decode_dev._pick_segs(W)
+    want = jax.vmap(
+        lambda f, d, r: decode_dev.reconstruct_rows(f, d, r, N, W, segs)
+    )(jnp.asarray(form), jnp.asarray(delta), jnp.asarray(refoff))
+    got = recon_pallas.reconstruct_rows_pallas(
+        jnp.asarray(form), jnp.asarray(delta), jnp.asarray(refoff),
+        n_pixels=N, width=W, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 @pytest.mark.slow
 def test_walk_kernel_interpret_parity():
     """The Pallas speculative walk vs its jnp oracle (walk_ref), exact."""
@@ -135,7 +181,8 @@ def test_walk_kernel_interpret_parity():
     maxl = d3.pick_maxl_streams(stream_max)
 
     chunk_bits = 512
-    nch_pad = d3.CPB  # one kernel block
+    rows = 8
+    nch_pad = rows * 128  # one kernel block
     wpc = chunk_bits // 32
     Wn = nch_pad * wpc + d3._wrows(chunk_bits)
     words = np.zeros((1, Wn), np.uint32)
@@ -145,25 +192,25 @@ def test_walk_kernel_interpret_parity():
     wbits = np.array([len(payload) * 8], np.int32)
 
     steps = d3._steps(chunk_bits, 8)
-    args = (
-        jnp.asarray(words.view(np.int32)),
-        jnp.asarray(wbits),
-        jnp.asarray(af[None]),
+    words_j = jnp.asarray(words.view(np.int32))
+    wbits_j = jnp.asarray(wbits)
+    pfx_j = jnp.asarray(pfx16[None])
+    aff_j, dD_j, inc_j = d3.derive_walk_tables(
+        jnp.asarray(af.view(np.int32)[None]),
         jnp.asarray(present.astype(np.int32)[None]),
         jnp.asarray(ib.astype(np.int32)[None]),
-        jnp.asarray(pfx16[None]),
     )
-    words_j, wbits_j, af_j, pr_j, ib_j, pfx_j = args
     entries = jnp.arange(nch_pad, dtype=jnp.int32)[None, :] * chunk_bits
 
-    blk = d3.make_word_blocks(words_j, nch_pad, chunk_bits)
+    blk = d3.make_word_blocks(words_j, nch_pad, chunk_bits, rows)
     pos_p, sym_p, i12_p, i34_p, ex_p = d3.walk_pallas(
-        blk, d3.chunk_layout(entries, 1), af_j, pr_j, ib_j, pfx_j, wbits_j,
-        chunk_bits=chunk_bits, steps=steps, maxl=maxl, interpret=True,
+        blk, d3.chunk_layout(entries, 1, rows), aff_j, dD_j, inc_j, pfx_j,
+        wbits_j, chunk_bits=chunk_bits, steps=steps, maxl=maxl, rows=rows,
+        interpret=True,
     )
     pos_r, sym_r, i12_r, i34_r, ex_r = d3.walk_ref(
-        words_j[0], entries[0], af_j[0], pr_j[0], ib_j[0], pfx_j[0, 0], wbits_j[0],
-        chunk_bits=chunk_bits, steps=steps, maxl=maxl,
+        words_j[0], entries[0], aff_j[0], dD_j[0], inc_j[0], pfx_j[0, 0],
+        wbits_j[0], chunk_bits=chunk_bits, steps=steps, maxl=maxl,
     )
     np.testing.assert_array_equal(
         np.asarray(d3.chunk_unlayout(ex_p))[0], np.asarray(ex_r)
