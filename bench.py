@@ -45,8 +45,12 @@ import numpy as np
 
 N_IMAGES = 64
 BATCH = 8
-TPU_THREADS = 3
-CPU_THREADS = 1
+# Thread mix measured r5 (device interactions serialize under a lock —
+# the axon tunnel corrupts kernel results when big D2H transfers overlap
+# compute): 2+2 = 62.6 MB/s fallbacks=0 vs 3+1 = 42.3; more TPU threads
+# only queue on the device lock while starving the host leg's cores.
+TPU_THREADS = 2
+CPU_THREADS = 2
 TIME_BUDGET_S = 480  # shrink rep counts (never skip sections) near this
 
 
@@ -104,7 +108,21 @@ def main() -> int:
         shape = imgs[0].shape
         H, W, _ = shape
         host_batches = [imgs[i : i + BATCH] for i in range(0, N_IMAGES, BATCH)]
-        batches = [(hb, upload_batch(hb)) for hb in host_batches]
+
+        def _retry(fn, tries=3):
+            """The experimental axon tunnel sporadically fails a transfer
+            with INVALID_ARGUMENT right after large compiles; retry
+            transients so a one-off hiccup doesn't void the benchmark run."""
+            for t in range(tries):
+                try:
+                    return fn()
+                except Exception as e:  # noqa: BLE001 - backend opacity
+                    if t == tries - 1 or "INVALID_ARGUMENT" not in str(e):
+                        raise
+                    print(f"bench retry after: {e}", file=sys.stderr, flush=True)
+                    time.sleep(2)
+
+        batches = [(hb, _retry(lambda hb=hb: upload_batch(hb))) for hb in host_batches]
 
         # warm the TPU executables serially (concurrent first-compiles race
         # on this backend), then one full hybrid pass proving bit-exactness
@@ -114,8 +132,14 @@ def main() -> int:
 
         N = H * W
         w_cap = _w_cap(N)
-        encode_batch_resident(batches[0][1], shape, batches[0][0])
-        _, _, wver = decode3.roundtrip_verify_fused(batches[0][1], width=W)
+
+        # warm EVERY device executable up front: compiling/first-running a
+        # second large program after another has executed reproducibly
+        # poisons the tunnel backend (every later call INVALID_ARGUMENT)
+        _retry(lambda: encode_batch_resident(batches[0][1], shape, batches[0][0]))
+        wver = _retry(
+            lambda: decode3.roundtrip_verify_fused(batches[0][1], width=W)[2]
+        )
         assert wver.all(), "warmup device round-trip not verified"
         pipeline.pop_stats()
         results, stats = roundtrip_hybrid(
@@ -131,6 +155,111 @@ def main() -> int:
         # original through the UNRELATED native decoder too
         assert np.array_equal(oracle.decode_native(blobs_all[0]), imgs[0])
 
+        # device-only encode throughput: fused dispatches pipelined (async
+        # enqueue, one sync at the end) — payload stays on device, only the
+        # (B, 860) table/stats fetch crosses the wire per batch
+        try:
+            best = 0.0
+            for _ in range(reps_left(3)):
+                def enc_round():
+                    smalls = [
+                        encode_fused(dev, width=W, ndigits_cap=3, w_cap=w_cap)[1]
+                        for _, dev in batches[:4]
+                    ]
+                    for s in smalls:
+                        np.asarray(s)
+
+                t0 = time.perf_counter()
+                _retry(enc_round)
+                best = max(best, 4 * BATCH * imgs[0].nbytes / 1e6 / (time.perf_counter() - t0))
+            extras["device_only"] = round(best, 2)
+        except Exception as e:  # pragma: no cover - section isolation
+            extras["device_only_error"] = str(e)[:120]
+
+        # pure device ROUND-TRIP: ONE fused dispatch per batch (encode +
+        # on-device table build + decode + bit-exact verify); only the
+        # (B, 862) small2 crosses the wire.  Dispatches for all batches are
+        # enqueued before any fetch so compute and the small fetches
+        # pipeline.  Fails the run if verification fails.
+        try:
+            rt_kw = dict(
+                width=W, ndigits_cap=3, w_cap=decode3.roundtrip_cap_words(N),
+                cfg=decode3.LADDER[0], maxl=decode3.FUSED_MAXL,
+                segs=decode3._segs_for(W),
+            )
+
+            def dev_rt_round(n_batches: int) -> None:
+                outs = [
+                    decode3._roundtrip_fused_jit(dev, **rt_kw)[1]
+                    for _, dev in batches[:n_batches]
+                ]
+                for small2_d in outs:
+                    small2 = np.asarray(small2_d)
+                    ver = small2[:, 860].astype(bool) & small2[:, 861].astype(bool)
+                    assert ver.all(), "device round-trip not verified"
+
+            _retry(lambda: dev_rt_round(1))  # warm
+            best = 0.0
+            for _ in range(reps_left(3)):
+                t0 = time.perf_counter()
+                _retry(lambda: dev_rt_round(4))
+                dt = time.perf_counter() - t0
+                best = max(best, 4 * BATCH * imgs[0].nbytes / 1e6 / dt)
+            extras["device_roundtrip"] = round(best, 2)
+        except Exception as e:  # pragma: no cover
+            extras["device_roundtrip_error"] = str(e)[:120]
+
+        # TPU-native batch decode (decode3: Pallas speculative walk).
+        # decode_device = device-compute throughput (per-image checksums +
+        # ok flags fetched — this tunnel's D2H wire is ~25-35 MB/s, below
+        # the C++ baseline itself, so an e2e number measures the wire, not
+        # the decoder; decode_device_e2e reports it anyway).
+        # The run FAILS if any valid stream fell back (VERDICT r2 weak #2).
+        # This section ALWAYS runs (VERDICT r3 next #2).
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            blob8 = blobs_all[:BATCH]
+            stats: dict = {}
+            decs = _retry(lambda: decode3.decode_batch_jax_v3(blob8, stats=stats))
+            assert stats["fallbacks"] == 0, "device decode fell back on valid streams"
+            for dec, im in zip(decs, imgs[:BATCH]):
+                assert np.array_equal(dec, im)
+            extras["decode_fallbacks"] = stats["fallbacks"]
+            ts = []
+            for _ in range(reps_left(2)):
+                t0 = time.perf_counter()
+                decode3.decode_batch_jax_v3(blob8, stats=stats)
+                assert stats["fallbacks"] == 0
+                ts.append(time.perf_counter() - t0)
+            extras["decode_device_e2e"] = round(
+                BATCH * imgs[0].nbytes / 1e6 / min(ts), 2
+            )
+
+            # compute-only: same pipeline, per-image checksum + ok fetch
+            args, kw = decode3.prepare_batch_args(blob8)
+            csum = jax.jit(
+                lambda *a: (
+                    lambda o, k, g: (jnp.sum(o.astype(jnp.int32), axis=(1, 2)), k)
+                )(*decode3._decode_core_v3(*a, **kw))
+            )
+            s_d, ok_d = _retry(lambda: jax.block_until_ready(csum(*args)))
+            assert bool(np.asarray(ok_d).all()), "device decode not ok"
+            assert [int(x) for x in np.asarray(s_d)] == [
+                int(im.astype(np.int64).sum()) for im in imgs[:BATCH]
+            ]
+            ts = []
+            for _ in range(reps_left(2)):
+                t0 = time.perf_counter()
+                s_d, ok_d = csum(*args)
+                np.asarray(s_d)
+                ts.append(time.perf_counter() - t0)
+            extras["decode_device"] = round(
+                BATCH * imgs[0].nbytes / 1e6 / min(ts), 2
+            )
+        except Exception as e:  # pragma: no cover
+            extras["decode_device_error"] = str(e)[:120]
         shares = []
         pipeline.pop_stats()
         for rep in range(reps_left(3)):
@@ -161,108 +290,14 @@ def main() -> int:
         pstats = pipeline.pop_stats()
         extras["encode_overflow_fallbacks"] = pstats["overflow_fallbacks"]
         extras["tpu_fallbacks"] = pstats["tpu_fallbacks"]
+        extras["tpu_retries"] = pstats["tpu_retries"]
         assert pstats["overflow_fallbacks"] == 0, "valid images must not overflow"
 
-        # device-only encode throughput: fused dispatches pipelined (async
-        # enqueue, one sync at the end) — payload stays on device, only the
-        # (B, 860) table/stats fetch crosses the wire per batch
-        best = 0.0
-        for _ in range(reps_left(3)):
-            t0 = time.perf_counter()
-            smalls = [
-                encode_fused(dev, width=W, ndigits_cap=3, w_cap=w_cap)[1]
-                for _, dev in batches[:4]
-            ]
-            for s in smalls:
-                np.asarray(s)
-            best = max(best, 4 * BATCH * imgs[0].nbytes / 1e6 / (time.perf_counter() - t0))
-        extras["device_only"] = round(best, 2)
 
-        # pure device ROUND-TRIP: ONE fused dispatch per batch (encode +
-        # on-device table build + decode + bit-exact verify); only the
-        # (B, 862) small2 crosses the wire.  Dispatches for all batches are
-        # enqueued before any fetch so compute and the small fetches
-        # pipeline.  Fails the run if verification fails.
-        try:
-            rt_kw = dict(
-                width=W, ndigits_cap=3, w_cap=decode3.roundtrip_cap_words(N),
-                cfg=decode3.LADDER[0], maxl=decode3.FUSED_MAXL,
-                segs=decode3._segs_for(W),
-            )
-
-            def dev_rt_round(n_batches: int) -> None:
-                outs = [
-                    decode3._roundtrip_fused_jit(dev, **rt_kw)[1]
-                    for _, dev in batches[:n_batches]
-                ]
-                for small2_d in outs:
-                    small2 = np.asarray(small2_d)
-                    ver = small2[:, 860].astype(bool) & small2[:, 861].astype(bool)
-                    assert ver.all(), "device round-trip not verified"
-
-            dev_rt_round(1)  # warm
-            best = 0.0
-            for _ in range(reps_left(3)):
-                t0 = time.perf_counter()
-                dev_rt_round(4)
-                dt = time.perf_counter() - t0
-                best = max(best, 4 * BATCH * imgs[0].nbytes / 1e6 / dt)
-            extras["device_roundtrip"] = round(best, 2)
-        except Exception as e:  # pragma: no cover
-            extras["device_roundtrip_error"] = str(e)[:120]
-
-        # TPU-native batch decode (decode3: Pallas speculative walk).
-        # decode_device = device-compute throughput (per-image checksums +
-        # ok flags fetched — this tunnel's D2H wire is ~25-35 MB/s, below
-        # the C++ baseline itself, so an e2e number measures the wire, not
-        # the decoder; decode_device_e2e reports it anyway).
-        # The run FAILS if any valid stream fell back (VERDICT r2 weak #2).
-        # This section ALWAYS runs (VERDICT r3 next #2).
-        try:
-            import jax
-            import jax.numpy as jnp
-
-            blob8 = blobs_all[:BATCH]
-            stats: dict = {}
-            decs = decode3.decode_batch_jax_v3(blob8, stats=stats)
-            assert stats["fallbacks"] == 0, "device decode fell back on valid streams"
-            for dec, im in zip(decs, imgs[:BATCH]):
-                assert np.array_equal(dec, im)
-            extras["decode_fallbacks"] = stats["fallbacks"]
-            ts = []
-            for _ in range(reps_left(2)):
-                t0 = time.perf_counter()
-                decode3.decode_batch_jax_v3(blob8, stats=stats)
-                assert stats["fallbacks"] == 0
-                ts.append(time.perf_counter() - t0)
-            extras["decode_device_e2e"] = round(
-                BATCH * imgs[0].nbytes / 1e6 / min(ts), 2
-            )
-
-            # compute-only: same pipeline, per-image checksum + ok fetch
-            args, kw = decode3.prepare_batch_args(blob8)
-            csum = jax.jit(
-                lambda *a: (
-                    lambda o, k, g: (jnp.sum(o.astype(jnp.int32), axis=(1, 2)), k)
-                )(*decode3._decode_core_v3(*a, **kw))
-            )
-            s_d, ok_d = csum(*args)
-            assert bool(np.asarray(ok_d).all()), "device decode not ok"
-            assert [int(x) for x in np.asarray(s_d)] == [
-                int(im.astype(np.int64).sum()) for im in imgs[:BATCH]
-            ]
-            ts = []
-            for _ in range(reps_left(2)):
-                t0 = time.perf_counter()
-                s_d, ok_d = csum(*args)
-                np.asarray(s_d)
-                ts.append(time.perf_counter() - t0)
-            extras["decode_device"] = round(
-                BATCH * imgs[0].nbytes / 1e6 / min(ts), 2
-            )
-        except Exception as e:  # pragma: no cover
-            extras["decode_device_error"] = str(e)[:120]
     except Exception as e:  # pragma: no cover - report baseline if TPU breaks
+        import traceback
+
+        traceback.print_exc()
         print(f"TPU path failed ({e}); reporting native-only", file=sys.stderr)
         if value == 0.0:
             value = base_mbs
@@ -271,6 +306,23 @@ def main() -> int:
             break
     else:  # defensive: make a dropped metric impossible to miss
         extras["decode_skipped"] = True
+
+    degraded = (
+        extras.get("decode_skipped")
+        or "decode_device" not in extras
+        or "device_roundtrip" not in extras
+    )
+    if degraded and not os.environ.get("NICETPU_BENCH_RETRY"):
+        # The experimental axon backend occasionally poisons a process with
+        # persistent INVALID_ARGUMENT fetch errors; a fresh process recovers.
+        # One self-retry so a backend hiccup doesn't record a native-only run.
+        import subprocess
+
+        print("TPU path collapsed; retrying in a fresh process", file=sys.stderr)
+        return subprocess.run(
+            [sys.executable, __file__],
+            env={**os.environ, "NICETPU_BENCH_RETRY": "1"},
+        ).returncode
 
     print(
         json.dumps(

@@ -43,7 +43,55 @@ def _transient_errors() -> tuple:
     invisible perf cliff (VERDICT r3 weak #4)."""
     import jax
 
-    return (jax.errors.JaxRuntimeError, OSError, ConnectionError)
+    return (jax.errors.JaxRuntimeError, OSError, ConnectionError, _TunnelError)
+
+
+class _TunnelError(Exception):
+    """Marker for backend errors the tunnel wraps in bare ValueErrors."""
+
+
+def _as_transient(e: BaseException) -> BaseException:
+    """Re-tag ValueError-wrapped backend failures as transient: under
+    concurrent fused dispatches the axon tunnel raises
+    `ValueError: INVALID_ARGUMENT: TPU backend error` instead of a
+    JaxRuntimeError; treating it as a kernel bug crashed whole bench runs."""
+    if isinstance(e, ValueError) and "TPU backend error" in str(e):
+        import sys
+        import time as _t
+
+        print(
+            f"[nicetpu {_t.strftime('%H:%M:%S')}] tunnel error retagged: "
+            f"{str(e)[:80]}",
+            file=sys.stderr,
+            flush=True,
+        )
+        return _TunnelError(str(e))
+    return e
+
+
+def _call_tpu(fn, *a, **k):
+    """Run a device-touching callable, re-tagging tunnel-wrapped
+    ValueErrors as transient `_TunnelError`s (see `_as_transient`)."""
+    try:
+        return fn(*a, **k)
+    except ValueError as e:
+        t = _as_transient(e)
+        if t is e:
+            raise
+        raise t from e
+
+
+# The axon tunnel corrupts its connection state when multiple threads pull
+# large D2H transfers simultaneously (every later device call then fails
+# with INVALID_ARGUMENT until the process dies).  Transfers serialize on
+# the wire anyway, so a process-wide fetch lock costs ~nothing and keeps
+# the backend alive under the hybrid scheduler's thread pool.
+_FETCH_LOCK = threading.RLock()
+
+
+def fetch_locked(x) -> np.ndarray:
+    with _FETCH_LOCK:
+        return np.asarray(x)
 
 
 # Device-fallback observability (VERDICT r3 next #5): every silent routing
@@ -80,7 +128,7 @@ def encode_batch_fused(imgs: Sequence[np.ndarray], _retries: int = 2) -> list[by
     retried, then falls back to the byte-identical native encoder (counted
     in `pop_stats`).  Non-transient exceptions propagate."""
     try:
-        return _encode_batch_fused(imgs)
+        return _call_tpu(_encode_batch_fused, imgs)
     except _transient_errors():
         if _retries > 0:
             _count("tpu_retries")
@@ -118,8 +166,9 @@ def encode_batch_resident(
     re-uploading the payload; (datas, None, None) when the native fallback
     produced the bytes."""
     try:
-        out = _encode_batch_core(flat_dev, shape, imgs, return_device=return_device)
-        return out
+        return _call_tpu(
+            _encode_batch_core, flat_dev, shape, imgs, return_device=return_device
+        )
     except _transient_errors():
         if _retries > 0:
             _count("tpu_retries")
@@ -150,7 +199,7 @@ def _encode_batch_core(flat, shape, imgs=None, return_device: bool = False):
     w_cap = _w_cap(N)
 
     words_d, small_d = encode_fused(flat, width=W, ndigits_cap=3, w_cap=w_cap)
-    small = np.asarray(small_d)  # (B, 860): [lengths(858), total_bits, ovf]
+    small = fetch_locked(small_d)  # (B, 860): [lengths(858), total_bits, ovf]
     out = _assemble_payloads(words_d, small, shape, flat=flat, imgs=imgs)
     if return_device:
         return out, words_d, small
@@ -171,11 +220,11 @@ def _assemble_payloads(words_d, small, shape, flat=None, imgs=None) -> list[byte
     words = None
     if kmax:
         try:
-            words = np.asarray(words_d[:, :kmax]).astype(np.uint32)
+            words = fetch_locked(words_d[:, :kmax]).astype(np.uint32)
         except _transient_errors():
             # transient backend error under concurrent first-compiles; the
             # full fetch needs no fresh executable
-            words = np.asarray(words_d)[:, :kmax].astype(np.uint32)
+            words = fetch_locked(words_d)[:, :kmax].astype(np.uint32)
 
     out: list[bytes] = []
     file_hdr = headers.pack_file_header(W, H, 3)
@@ -220,10 +269,19 @@ def roundtrip_batch_resident(flat_dev, shape, imgs=None, _retries: int = 2):
         raise ValueError(f"width must be >= {C.MIN_WIDTH} (SURVEY A.8.7)")
     try:
         dstats: dict = {}
-        words_d, small, verified = decode3.roundtrip_verify_fused(
-            flat_dev, width=W, stats=dstats
-        )
-        datas = _assemble_payloads(words_d, small, shape, flat=flat_dev, imgs=imgs)
+        # Hold the device lock across dispatch + compute + both fetches:
+        # concurrent kernel execution with large D2H transfers corrupts the
+        # tunnel (walk gates then reject entire batches; measured 144/512
+        # image-fallbacks per bench run).  Threads still overlap host-side
+        # payload assembly and native decoding.
+        with _FETCH_LOCK:
+            words_d, small, verified = _call_tpu(
+                decode3.roundtrip_verify_fused, flat_dev, width=W, stats=dstats,
+                fetch=fetch_locked,
+            )
+            datas = _call_tpu(
+                _assemble_payloads, words_d, small, shape, flat=flat_dev, imgs=imgs
+            )
         ovf = small[:, 859].astype(bool)
         unverified = int((~verified & ~ovf).sum())
         if unverified:
