@@ -93,9 +93,11 @@ def _recon_kernel(
     def _():
         prev4_scr[:] = jnp.zeros_like(prev4_scr)
 
-    def rep_c(x):  # (B, k) -> (3B, k), channel-broadcast
-        k = x.shape[1]
-        return jnp.broadcast_to(x[:, None, :], (B, 3, k)).reshape(3 * B, k)
+    def rep_c(x):  # (B, k) -> (3B, k), channel-replicate (b-major rows)
+        # jnp.repeat on the sublane dim lowers via tpu.repeat/concat for any
+        # B; the broadcast_to+reshape formulation hit "Invalid input layout"
+        # at B=1 (vector.broadcast (1,1)->(3,1))
+        return jnp.repeat(x, 3, axis=0)
 
     f_row = f_ref[0]  # (B, W)
     d_row = d_ref[0]  # (3B, W)
@@ -221,6 +223,14 @@ def reconstruct_rows_pallas(
     N, W = n_pixels, width
     if W % LANE:
         raise ValueError("pallas reconstruction requires width % 128 == 0")
+    if form.shape[0] == 1:
+        # B=1 hits Mosaic "Invalid input layout" on the kernel's (1,1)->(3,1)
+        # channel replication; pad with a dummy image and slice it back off
+        pad1 = lambda x: jnp.concatenate([x, jnp.zeros_like(x)], axis=0)
+        return reconstruct_rows_pallas(
+            pad1(form), pad1(delta), pad1(refoff),
+            n_pixels=n_pixels, width=width, interpret=interpret,
+        )[:1]
     B = form.shape[0]
     H = N // W
     offs = tuple(_const_offsets(W))
