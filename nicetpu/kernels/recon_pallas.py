@@ -50,8 +50,9 @@ LANE = 128  # positions per segment (the TPU lane count)
 # int32 temporaries (r1..r3 rotate without copies); keep B*S under this
 # bound per kernel invocation and chunk larger batches
 # (max_batch_for_width); wider rasters than S = MAX_BS segments fall back
-# to the XLA reconstruction.
-MAX_BS = 128
+# to the XLA reconstruction.  Measured on chip: B*S = 126 compiles to
+# 128.07 MiB of vmem against the 128 MiB cap — 104 leaves ~18% margin.
+MAX_BS = 104
 
 
 def max_batch_for_width(width: int) -> int:
@@ -243,9 +244,11 @@ def reconstruct_rows_pallas(
     ro_h = jnp.transpose(refoff.reshape(B, H, W), (1, 0, 2))
     try:  # the unrolled build keeps many live temporaries on the Mosaic
         # stack; the default 16 MiB scoped-vmem limit is too small at B=8
-        params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        # (measured ~1.01 MiB per image-segment; MAX_BS=104 => ~105 MiB,
+        # hard device cap 128 MiB incl. I/O blocks)
+        params = pltpu.CompilerParams(vmem_limit_bytes=116 * 1024 * 1024)
     except TypeError:  # pragma: no cover - older API name
-        params = pltpu.TPUCompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        params = pltpu.TPUCompilerParams(vmem_limit_bytes=116 * 1024 * 1024)
     out = pl.pallas_call(
         kern,
         grid=(H,),
